@@ -1,0 +1,92 @@
+"""Stacked expert MLPs — the FLOP core of the MoE layer.
+
+Parity target: ExpertMLP, switch_nerf/modules/tutel_moe_ext/
+tutel_moe_layer_nobatch.py:837-924 (per-layer `torch.baddbmm` over stacked
+[E, M, M] weights with mid-skip connections).
+
+TPU-first: two execution forms over the same parameters:
+  * padded  [E, C, M]: one batched einsum `ecm,emn->ecn` per layer — E large
+    GEMMs tiling perfectly onto the MXU (capacity-factor dispatch).
+  * ragged  [N, M] + group_sizes [E]: jax.lax.ragged_dot per layer — the
+    exact-shape grouped GEMM used for the reference's "nobatch" no-drop mode
+    (tutel_fast_dispatch_nobatch.py variable-size dispatch) without dynamic
+    shapes.
+Compute runs in the caller's dtype (bf16 under mixed precision) with fp32
+accumulation; params are fp32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from switch_nerf_tpu.models.common import torch_linear_kernel_init, torch_linear_bias_init
+
+
+class ExpertMLP(nn.Module):
+    model_dim: int
+    num_experts: int                 # local expert count (== global unless EP)
+    layer_num: int
+    skips: Optional[Sequence[int]] = None
+    init_factor: float = 1.0
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        m = self.model_dim
+        kinit = torch_linear_kernel_init()
+        binit = torch_linear_bias_init(m)
+        f = self.init_factor
+        ws, bs = [], []
+        for layer_id in range(self.layer_num):
+            ws.append(self.param(
+                f"w{layer_id}",
+                lambda k, s, d=self.param_dtype: kinit(k, s, d) * f,
+                (self.num_experts, m, m), self.param_dtype))
+            bs.append(self.param(
+                f"b{layer_id}",
+                lambda k, s, d=self.param_dtype: binit(k, s, d) * f,
+                (self.num_experts, 1, m), self.param_dtype))
+        self.ws = ws
+        self.bs = bs
+
+    def _skip_act(self, layer_id, h, xin):
+        skips = set(self.skips or ())
+        is_last = layer_id == self.layer_num - 1
+        if layer_id in skips:
+            h = h + xin
+            if not is_last:
+                h = nn.relu(h)
+            xin = h
+        elif not is_last:
+            h = nn.relu(h)
+        return h, xin
+
+    def __call__(self, x):
+        """Padded form: x [E, C, M] -> [E, C, M]."""
+        h = x
+        xin = x
+        for layer_id in range(self.layer_num):
+            w = self.ws[layer_id].astype(h.dtype)
+            b = self.bs[layer_id].astype(h.dtype)
+            h = jnp.einsum("ecm,emn->ecn", h, w,
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            h = h + b
+            h, xin = self._skip_act(layer_id, h, xin)
+        return h
+
+    def ragged(self, x, group_sizes, row_expert):
+        """Ragged form: x [N, M] sorted by expert; group_sizes [E] int32;
+        row_expert [N] int32 (expert id per row, for bias/broadcast)."""
+        h = x
+        xin = x
+        for layer_id in range(self.layer_num):
+            w = self.ws[layer_id].astype(h.dtype)
+            b = self.bs[layer_id][:, 0, :].astype(h.dtype)      # [E, M]
+            h = jax.lax.ragged_dot(
+                h, w, group_sizes,
+                preferred_element_type=jnp.float32).astype(h.dtype)
+            h = h + b[row_expert]
+            h, xin = self._skip_act(layer_id, h, xin)
+        return h

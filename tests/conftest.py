@@ -2,11 +2,12 @@
 
 Mirrors the reference's single-machine multi-rank testing gap (SURVEY.md §4):
 we use XLA's host-platform device virtualization as the JAX analog of gloo.
-Must be set before jax is imported anywhere.
+
+Note: jax is pre-imported at interpreter startup in this image, so env vars
+are too late — use jax.config.update before any backend is initialized.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh; got %s" % jax.devices())
+    assert jax.device_count() == 8
+    yield
