@@ -1,0 +1,391 @@
+"""Classic (Mega-NeRF-style) ray rendering: coarse/fine hierarchical sampling
+with foreground/background (inverted-sphere) composition.
+
+Parity target: switch_nerf/rendering.py:15-494.
+  * fg/bg split by unit-sphere intersection (:34-77) — realised with a
+    static-shape mask over ALL rays instead of data-dependent gathering
+    (rays_with_bg boolean indexing); the DDP keep-alive dummy-backward hack
+    (:163-194) is unnecessary since there is no DDP bucket lockstep in JAX.
+  * coarse raw pass + fine pass that MERGES coarse samples before
+    compositing (:419-433) — i.e. rgb_fine integrates coarse+fine samples.
+  * model chunking (:320, 354): Python chunk loop -> lax.scan over fixed
+    chunks with jax.checkpoint (rematerialisation), preserving the
+    reference's per-chunk MoE routing/capacity semantics.
+
+The `model_fn` contract:
+    model_fn(points [P, D], sigma_noise [P,1]|None, rng, train) ->
+        (outputs [P, 4], moe_loss [L] fp32)   # L == 0 for dense models
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from switch_nerf_tpu.ops.volume import (
+    expand_and_perturb_z_vals, intersect_sphere, depth2pts_outside, sample_pdf,
+    volume_render,
+)
+
+ModelFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    coarse_samples: int = 256
+    fine_samples: int = 512
+    perturb: float = 1.0
+    model_chunk_size: int = 131072
+    pos_dir_dim: int = 4
+    use_cascade: bool = False
+    white_bkgd: bool = False
+    use_random_background_color: bool = False
+    use_sigma_noise: bool = False
+    sigma_noise_std: float = 1.0
+    use_mip: bool = False
+    rgb_padding: Optional[float] = None        # mip only
+    weights_resample_padding: float = 0.01     # mip only
+    stop_level_grad: bool = True               # mip only
+    return_gates: bool = False
+    return_pts: bool = False
+    remat_chunks: bool = True
+
+
+def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
+                      rng: Optional[jax.Array], train: bool):
+    """Apply the model over fixed-size point chunks with lax.scan + remat.
+
+    Returns (outputs [P, C], moe_loss [n_chunks, L]).
+    """
+    p, d = points.shape
+    chunk = min(cfg.model_chunk_size, p)
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        points = jnp.concatenate([points, points[:1].repeat(pad, axis=0)], axis=0)
+    xs = points.reshape(n_chunks, chunk, d)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    chunk_rngs = jax.random.split(rng, n_chunks)
+
+    def one_chunk(pts, crng):
+        noise_rng, model_rng = jax.random.split(crng)
+        sigma_noise = None
+        if cfg.use_sigma_noise and cfg.sigma_noise_std > 0.0 and train:
+            sigma_noise = cfg.sigma_noise_std * jax.random.normal(
+                noise_rng, (pts.shape[0], 1), jnp.float32)
+        return model_fn(pts, sigma_noise, model_rng, train)
+
+    if cfg.remat_chunks:
+        one_chunk = jax.checkpoint(one_chunk)
+
+    if n_chunks == 1:
+        out, moe_loss = one_chunk(xs[0], chunk_rngs[0])
+        outs, moe_losses = out[None], moe_loss[None]
+    else:
+        def body(carry, x):
+            pts, crng = x
+            return carry, one_chunk(pts, crng)
+        _, (outs, moe_losses) = jax.lax.scan(body, None, (xs, chunk_rngs))
+
+    outputs = outs.reshape(n_chunks * chunk, -1)[:p]
+    return outputs, moe_losses
+
+
+def _build_points(xyz: jnp.ndarray, rays_d: jnp.ndarray,
+                  image_indices: Optional[jnp.ndarray], pos_dir_dim: int):
+    """[N, S, xd] (+dirs +idx broadcast over samples) -> flat [N*S, D]."""
+    n, s, xd = xyz.shape
+    parts = [xyz.reshape(n * s, xd)]
+    if pos_dir_dim > 0:
+        dirs = jnp.broadcast_to(rays_d, (n, s, 3)).reshape(n * s, 3)
+        parts.append(dirs)
+    if image_indices is not None:
+        idx = jnp.broadcast_to(image_indices[:, None, None], (n, s, 1))
+        parts.append(idx.reshape(n * s, 1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
+               rays_d: jnp.ndarray, image_indices, last_delta: jnp.ndarray,
+               cfg: RenderConfig, rng, train: bool, flip: bool,
+               depth_real: Optional[jnp.ndarray]):
+    """Run the model on [N, S] samples, return raw (rgbs, sigmas) + moe_loss.
+
+    When flip (background pass, samples ordered by increasing inverse-depth),
+    arrays are reversed so the model sees near->far ordering exactly like the
+    reference (rendering.py:302-304).
+    """
+    if flip:
+        xyz = jnp.flip(xyz, axis=-2)
+        z_vals = jnp.flip(z_vals, axis=-1)
+        if depth_real is not None:
+            depth_real = jnp.flip(depth_real, axis=-1)
+
+    n, s, _ = xyz.shape
+    pts = _build_points(xyz, rays_d, image_indices, cfg.pos_dir_dim)
+    out, moe_loss = run_model_chunked(model_fn, pts, cfg, rng, train)
+    out = out.reshape(n, s, -1)
+    rgbs = out[..., :3]
+    sigmas = out[..., 3]
+    return rgbs, sigmas, z_vals, depth_real, moe_loss
+
+
+def _composite(rgbs, sigmas, z_vals, last_delta, cfg: RenderConfig, flip: bool,
+               depth_real=None, get_depth=False, get_depth_variance=False,
+               bkgd_rng=None):
+    background_color = None
+    if cfg.use_random_background_color and bkgd_rng is not None:
+        background_color = jax.random.uniform(bkgd_rng, (3,), jnp.float32)
+    return volume_render(
+        rgbs, sigmas, z_vals, last_delta, flip=flip, composite_rgb=True,
+        depth_real=depth_real, get_depth=get_depth,
+        get_depth_variance=get_depth_variance, white_bkgd=cfg.white_bkgd,
+        background_color=background_color)
+
+
+def render_rays(model_fn: ModelFn,
+                bg_model_fn: Optional[ModelFn],
+                rays: jnp.ndarray,
+                image_indices: Optional[jnp.ndarray],
+                cfg: RenderConfig,
+                sphere_center: Optional[jnp.ndarray],
+                sphere_radius: Optional[jnp.ndarray],
+                rng: Optional[jax.Array],
+                train: bool = False,
+                get_depth: bool = False,
+                get_depth_variance: bool = False,
+                get_bg_fg_rgb: bool = False) -> Dict[str, jnp.ndarray]:
+    """rays: [N, 8] = [o, d, near, far]. Returns the reference's results dict
+    (rgb_fine / rgb_coarse / depth_* / gate_loss_* / bg_gate_loss_* ...).
+    """
+    n_rays = rays.shape[0]
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    (r_perturb_fg, r_perturb_bg, r_fine_fg, r_fine_bg, r_model_c, r_model_f,
+     r_bg_c, r_bg_f, r_bkgd) = jax.random.split(rng, 9)
+
+    perturb = cfg.perturb if train else 0.0
+    results: Dict[str, jnp.ndarray] = {}
+
+    has_bg = bg_model_fn is not None
+    if has_bg:
+        fg_far = intersect_sphere(rays_o, rays_d, sphere_center, sphere_radius)
+        fg_far = jnp.maximum(fg_far, near[:, 0])
+        bg_mask = far[:, 0] > fg_far                       # [N]
+        last_delta = jnp.where(bg_mask, fg_far, 1e10)[:, None]
+        far = jnp.minimum(far[:, 0], fg_far)[:, None]
+    else:
+        bg_mask = None
+        last_delta = 1e10 * jnp.ones((n_rays, 1), rays.dtype)
+
+    rays_o3 = rays_o[:, None, :]
+    rays_d3 = rays_d[:, None, :]
+
+    # ---------------- background (inverted sphere), masked all-rays --------
+    bg = {}
+    if has_bg:
+        bg = _render_background(
+            bg_model_fn, rays_o3, rays_d3, image_indices, cfg,
+            sphere_center, sphere_radius,
+            (r_perturb_bg, r_fine_bg, r_bg_c, r_bg_f), train,
+            get_depth, get_depth_variance)
+
+    # ---------------- foreground coarse ------------------------------------
+    z_steps = jnp.linspace(0.0, 1.0, cfg.coarse_samples, dtype=rays.dtype)
+    z_vals = near * (1 - z_steps) + far * z_steps
+    z_vals = expand_and_perturb_z_vals(z_vals, perturb,
+                                       r_perturb_fg if perturb > 0 else None)
+    xyz_coarse = rays_o3 + rays_d3 * z_vals[..., None]
+
+    # last_delta adjustment (rendering.py:215-216): for finite last_delta,
+    # subtract the max z so the final interval ends at the sphere boundary.
+    def _adjust_last_delta(ld, z):
+        finite = ld[:, 0] < 1e10
+        diff = jnp.where(finite, jnp.max(z, axis=-1), 0.0)
+        return ld - diff[:, None]
+
+    rgbs_c, sigmas_c, zv_c, _, moe_loss_c = _inference(
+        model_fn, xyz_coarse, z_vals, rays_d3, image_indices, last_delta,
+        cfg, r_model_c, train, flip=False, depth_real=None)
+    results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
+
+    fine_total = cfg.fine_samples
+    if fine_total > 0:
+        # weights for importance sampling (raw coarse compositing)
+        vr_c = volume_render(rgbs_c, sigmas_c, zv_c,
+                             _adjust_last_delta(last_delta, zv_c),
+                             composite_rgb=cfg.use_cascade)
+        if cfg.use_cascade:
+            results["rgb_coarse"] = vr_c.rgb
+            if has_bg:
+                results["bg_lambda_coarse"] = vr_c.bg_lambda
+
+        z_mid = 0.5 * (zv_c[:, :-1] + zv_c[:, 1:])
+        fine_z = sample_pdf(z_mid,
+                            jax.lax.stop_gradient(vr_c.weights[:, 1:-1]),
+                            fine_total, det=(perturb == 0),
+                            rng=r_fine_fg)
+        if cfg.use_cascade:
+            fine_z = jnp.sort(jnp.concatenate([zv_c, fine_z], -1), axis=-1)
+
+        xyz_fine = rays_o3 + rays_d3 * fine_z[..., None]
+        rgbs_f, sigmas_f, zv_f, _, moe_loss_f = _inference(
+            model_fn, xyz_fine, fine_z, rays_d3, image_indices, last_delta,
+            cfg, r_model_f, train, flip=False, depth_real=None)
+        results["gate_loss_fine"] = moe_loss_f.reshape(-1)
+
+        if not cfg.use_cascade:
+            # merge coarse + fine raw samples before compositing
+            # (rendering.py:419-433)
+            z_all = jnp.concatenate([zv_f, zv_c], axis=-1)
+            order = jnp.argsort(z_all, axis=-1)
+            z_all = jnp.take_along_axis(z_all, order, axis=-1)
+            rgb_all = jnp.take_along_axis(
+                jnp.concatenate([rgbs_f, rgbs_c], axis=-2), order[..., None], axis=-2)
+            sig_all = jnp.take_along_axis(
+                jnp.concatenate([sigmas_f, sigmas_c], axis=-1), order, axis=-1)
+        else:
+            z_all, rgb_all, sig_all = zv_f, rgbs_f, sigmas_f
+
+        vr_f = _composite(rgb_all, sig_all, z_all,
+                          _adjust_last_delta(last_delta, z_all), cfg,
+                          flip=False, get_depth=get_depth or has_bg,
+                          get_depth_variance=get_depth_variance,
+                          bkgd_rng=r_bkgd if train else None)
+        results["rgb_fine"] = vr_f.rgb
+        if get_depth:
+            results["depth_fine"] = vr_f.depth
+        if get_depth_variance:
+            results["depth_variance_fine"] = vr_f.depth_variance
+        if has_bg:
+            results["bg_lambda_fine"] = vr_f.bg_lambda
+    else:
+        vr_c2 = _composite(rgbs_c, sigmas_c, zv_c,
+                           _adjust_last_delta(last_delta, zv_c), cfg,
+                           flip=False, get_depth=get_depth,
+                           get_depth_variance=get_depth_variance,
+                           bkgd_rng=r_bkgd if train else None)
+        results["rgb_coarse"] = vr_c2.rgb
+        if get_depth:
+            results["depth_coarse"] = vr_c2.depth
+        if get_depth_variance:
+            results["depth_variance_coarse"] = vr_c2.depth_variance
+        if has_bg:
+            results["bg_lambda_coarse"] = vr_c2.bg_lambda
+
+    # ---------------- fg/bg composition ------------------------------------
+    if has_bg:
+        types = ["fine" if fine_total > 0 else "coarse"]
+        if cfg.use_cascade and fine_total > 0:
+            types.append("coarse")
+        m = bg_mask.astype(rays.dtype)[:, None]
+        for typ in types:
+            bl = results[f"bg_lambda_{typ}"][:, None]
+            for key in ("rgb", "depth"):
+                rk = f"{key}_{typ}"
+                if rk not in results or f"{key}_{typ}" not in bg:
+                    continue
+                val = results[rk]
+                bg_val = bg[rk]
+                if val.ndim == 1:
+                    mult = (bl[:, 0] * m[:, 0])
+                    add = bg_val * mult
+                else:
+                    add = bg_val * bl * m
+                if get_bg_fg_rgb:
+                    results[f"fg_{rk}"] = val
+                    results[f"bg_{rk}"] = add
+                results[rk] = val + add
+        for typ in ("fine", "coarse"):
+            if f"gate_loss_{typ}" in bg:
+                results[f"bg_gate_loss_{typ}"] = bg[f"gate_loss_{typ}"]
+
+    return results
+
+
+def _render_background(bg_model_fn, rays_o3, rays_d3, image_indices,
+                       cfg: RenderConfig, sphere_center, sphere_radius,
+                       rngs, train, get_depth, get_depth_variance):
+    """Inverted-sphere background pass over ALL rays (masked composition is
+    applied by the caller). Mirrors rendering.py:42-77 with half coarse and
+    half fine samples, flip ordering."""
+    r_perturb, r_fine, r_model_c, r_model_f = rngs
+    n_rays = rays_o3.shape[0]
+    perturb = cfg.perturb if train else 0.0
+    s_bg = cfg.coarse_samples // 2
+
+    bg_z = jnp.linspace(0.0, 1.0, s_bg, dtype=rays_o3.dtype)
+    bg_z = jnp.broadcast_to(bg_z, (n_rays, s_bg))
+    bg_z = expand_and_perturb_z_vals(bg_z, perturb,
+                                     r_perturb if perturb > 0 else None)
+    bg_pts, depth_real = depth2pts_outside(rays_o3, rays_d3, bg_z,
+                                           sphere_center, sphere_radius)
+    last_delta = 1e10 * jnp.ones((n_rays, 1), rays_o3.dtype)
+
+    results: Dict[str, jnp.ndarray] = {}
+    rgbs_c, sigmas_c, zv_c, dr_c, moe_loss_c = _inference(
+        bg_model_fn, bg_pts, bg_z, rays_d3, image_indices, last_delta,
+        cfg, r_model_c, train, flip=True, depth_real=depth_real)
+    results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
+
+    fine_n = cfg.fine_samples // 2
+    if cfg.fine_samples > 0:
+        vr_c = volume_render(rgbs_c, sigmas_c, zv_c, last_delta, flip=True,
+                             composite_rgb=cfg.use_cascade, depth_real=dr_c)
+        if cfg.use_cascade:
+            results["rgb_coarse"] = vr_c.rgb
+
+        z_mid = 0.5 * (zv_c[:, :-1] + zv_c[:, 1:])
+        fine_z = sample_pdf(z_mid,
+                            jax.lax.stop_gradient(vr_c.weights[:, 1:-1]),
+                            fine_n, det=(perturb == 0), rng=r_fine)
+        if cfg.use_cascade:
+            fine_z = jnp.sort(jnp.concatenate([zv_c, fine_z], -1), axis=-1)
+        # fine_z follows the descending (flipped) bin order; sort ascending
+        # for depth2pts_outside — _inference flips again for compositing.
+        fine_z_asc = jnp.sort(fine_z, axis=-1)
+        bg_pts_f, depth_real_f = depth2pts_outside(rays_o3, rays_d3, fine_z_asc,
+                                                   sphere_center, sphere_radius)
+        rgbs_f, sigmas_f, zv_f, dr_f, moe_loss_f = _inference(
+            bg_model_fn, bg_pts_f, fine_z_asc, rays_d3, image_indices,
+            last_delta, cfg, r_model_f, train, flip=True, depth_real=depth_real_f)
+        results["gate_loss_fine"] = moe_loss_f.reshape(-1)
+
+        if not cfg.use_cascade:
+            # merge coarse+fine (descending z ordering -> flip sort)
+            z_all = jnp.concatenate([zv_f, zv_c], axis=-1)
+            order = jnp.argsort(-z_all, axis=-1)
+            z_all = jnp.take_along_axis(z_all, order, axis=-1)
+            rgb_all = jnp.take_along_axis(
+                jnp.concatenate([rgbs_f, rgbs_c], axis=-2), order[..., None], axis=-2)
+            sig_all = jnp.take_along_axis(
+                jnp.concatenate([sigmas_f, sigmas_c], axis=-1), order, axis=-1)
+            dr_all = jnp.take_along_axis(
+                jnp.concatenate([dr_f, dr_c], axis=-1), order, axis=-1)
+        else:
+            z_all, rgb_all, sig_all, dr_all = zv_f, rgbs_f, sigmas_f, dr_f
+
+        vr_f = volume_render(rgb_all, sig_all, z_all, last_delta, flip=True,
+                             composite_rgb=True, depth_real=dr_all,
+                             get_depth=get_depth,
+                             get_depth_variance=get_depth_variance,
+                             white_bkgd=cfg.white_bkgd)
+        results["rgb_fine"] = vr_f.rgb
+        if get_depth:
+            results["depth_fine"] = vr_f.depth
+    else:
+        vr = volume_render(rgbs_c, sigmas_c, zv_c, last_delta, flip=True,
+                           composite_rgb=True, depth_real=dr_c,
+                           get_depth=get_depth, white_bkgd=cfg.white_bkgd)
+        results["rgb_coarse"] = vr.rgb
+        if get_depth:
+            results["depth_coarse"] = vr.depth
+    return results
