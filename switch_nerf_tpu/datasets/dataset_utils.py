@@ -1,0 +1,53 @@
+"""Per-image pixel selection shared by the chunked datasets.
+
+Parity target: switch_nerf/datasets/dataset_utils.py:8-39 (get_rgb_index_mask):
+  * flattened rgbs + int16 image-index vector + keep-mask
+  * val-image protocol: TRAIN keeps only the LEFT half; the number of
+    discarded kept-pixels in the right half is resampled uniformly into
+    previously-masked-out left-half pixels so the per-image ray count is
+    preserved (eval later uses the right half, runner.py:1296-1297).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+
+INT16_MAX = np.iinfo(np.int16).max
+
+
+def get_rgb_index_mask(metadata: ImageMetadata,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                           Optional[np.ndarray]]]:
+    rng = rng or np.random.default_rng()
+    rgbs = metadata.load_image().reshape(-1, 3)
+    keep_mask = metadata.load_mask()
+
+    if metadata.is_val:
+        h, w = metadata.H, metadata.W
+        if keep_mask is None:
+            keep_mask = np.ones((h, w), dtype=bool)
+        else:
+            discard_half = keep_mask[:, w // 2:]
+            discard_pos_count = int(discard_half.sum())
+            candidates = np.arange(h * w).reshape(h, w)[:, :w // 2]
+            keep_half = keep_mask[:, :w // 2]
+            candidates = candidates[~keep_half].reshape(-1)
+            to_add = rng.permutation(candidates)[:discard_pos_count]
+            flat = keep_mask.reshape(-1)
+            flat[to_add] = True
+            keep_mask = flat.reshape(h, w)
+        keep_mask[:, w // 2:] = False
+
+    if keep_mask is not None:
+        if not keep_mask.any():
+            return None
+        keep_mask = keep_mask.reshape(-1)
+        rgbs = rgbs[keep_mask]
+
+    assert metadata.image_index <= INT16_MAX
+    indices = np.full((rgbs.shape[0],), metadata.image_index, dtype=np.int16)
+    return rgbs, indices, keep_mask

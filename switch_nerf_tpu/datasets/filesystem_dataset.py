@@ -1,0 +1,265 @@
+"""Chunked disk-shuffle dataset for Mega-NeRF-scale scenes.
+
+Parity target: switch_nerf/datasets/filesystem_dataset.py:24-343.
+
+Semantics reproduced:
+  * chunk generation — iterate images, per-image pixel selection
+    (get_rgb_index_mask), random permutation, round-robin append into
+    `num_chunks` chunk files, flushed every `disk_flush_size` samples by a
+    thread pool (reference :163-285);
+  * when every image shares one set of intrinsics, rays are NOT materialised
+    on disk — pixel indices + image indices are stored and rays are
+    reconstructed at load time (reference :127-161, in 64K blocks; here a
+    single vectorised numpy pass);
+  * training-time cyclic chunk iterator with a 1-worker background prefetch
+    (reference :85-94);
+  * resume via get_state()/set_state(chunk_index) (reference :110-115);
+  * chunk reuse across runs validated against a metadata manifest
+    (reference :287-323).
+
+Storage format (ours, not the reference's NpyAppendArray): each chunk is a
+directory `chunk_NNN/` of numbered .npz parts; parts are append-only and
+concatenated at load. uint8 rgbs; float32 rays (or int64 pixel ids).
+"""
+from __future__ import annotations
+
+import json
+import shutil
+from concurrent.futures import Future, ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from switch_nerf_tpu.datasets.dataset_utils import get_rgb_index_mask
+from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+from switch_nerf_tpu.datasets.ray_utils import get_ray_directions, get_rays
+
+_MANIFEST = "manifest.json"
+
+
+class FilesystemDataset:
+    def __init__(self, metadata_items: List[ImageMetadata], near: float,
+                 far: float, ray_altitude_range: Optional[Sequence[float]],
+                 center_pixels: bool, chunk_paths: Sequence[Path],
+                 num_chunks: int, scale_factor: int, disk_flush_size: int,
+                 shuffle_chunk: bool = False,
+                 seed: int = 42):
+        self._near = float(near)
+        self._far = float(far)
+        self._ray_altitude_range = (list(ray_altitude_range)
+                                    if ray_altitude_range is not None else None)
+        self._center_pixels = bool(center_pixels)
+        self._shuffle_chunk = bool(shuffle_chunk)
+        self._rng = np.random.default_rng(seed)
+
+        # one shared intrinsics set => store pixel indices instead of rays
+        intrinsics = {tuple(np.round(m.intrinsics, 6)) + (m.W, m.H)
+                      for m in metadata_items}
+        self._shared_intrinsics = len(intrinsics) == 1
+        self._metadata_items = metadata_items
+
+        append_path = self._existing_chunk_dir(chunk_paths, metadata_items,
+                                               num_chunks, scale_factor)
+        if append_path is None:
+            root = Path(sorted(chunk_paths)[0])
+            root.mkdir(parents=True, exist_ok=True)
+            self._chunk_dir = root
+            self._write_chunks(metadata_items, num_chunks, scale_factor,
+                               disk_flush_size)
+        else:
+            self._chunk_dir = append_path
+
+        self._chunk_paths = sorted(
+            p for p in self._chunk_dir.iterdir()
+            if p.is_dir() and p.name.startswith("chunk_"))
+        if self._shuffle_chunk:
+            order = self._rng.permutation(len(self._chunk_paths))
+            self._chunk_paths = [self._chunk_paths[i] for i in order]
+
+        self._chunk_index = 0
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._next_chunk: Optional[Future] = None
+        self._loaded: Optional[Dict[str, np.ndarray]] = None
+        self._start_prefetch()
+
+    # ------------------------------------------------------------- state --
+    def get_state(self) -> str:
+        return str(self._chunk_index)
+
+    def set_state(self, state: str) -> None:
+        self._chunk_index = int(state) % len(self._chunk_paths)
+        if self._next_chunk is not None:
+            self._next_chunk.cancel()
+        self._next_chunk = None
+        self._start_prefetch()
+
+    # ----------------------------------------------------------- loading --
+    def _start_prefetch(self):
+        path = self._chunk_paths[self._chunk_index]
+        self._next_chunk = self._executor.submit(self._read_chunk, path)
+
+    def load_chunk(self) -> None:
+        """Block until the prefetched chunk is ready, start the next one."""
+        assert self._next_chunk is not None
+        self._loaded = self._next_chunk.result()
+        self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
+        self._start_prefetch()
+
+    def _read_chunk(self, path: Path) -> Dict[str, np.ndarray]:
+        parts = sorted(path.glob("part_*.npz"))
+        arrays: Dict[str, List[np.ndarray]] = {}
+        for p in parts:
+            with np.load(p) as z:
+                for k in z.files:
+                    arrays.setdefault(k, []).append(z[k])
+        out = {k: np.concatenate(v) for k, v in arrays.items()}
+
+        rgbs = out["rgbs"].astype(np.float32) / 255.0
+        img_idx = out["image_indices"].astype(np.float32)
+        if "rays" in out:
+            rays = out["rays"].astype(np.float32)
+        else:
+            rays = self._reconstruct_rays(out["pixel_indices"],
+                                          out["image_indices"])
+        return {"rgbs": rgbs, "rays": rays, "image_indices": img_idx}
+
+    def _reconstruct_rays(self, pixel_indices: np.ndarray,
+                          image_indices: np.ndarray) -> np.ndarray:
+        m0 = self._metadata_items[0]
+        directions = get_ray_directions(
+            m0.W, m0.H, m0.intrinsics[0], m0.intrinsics[1], m0.intrinsics[2],
+            m0.intrinsics[3], self._center_pixels).reshape(-1, 3)
+        c2ws = np.stack([m.c2w for m in self._metadata_items])
+        dirs = directions[pixel_indices]                             # [N, 3]
+        c2w = c2ws[image_indices.astype(np.int64)]                   # [N,3,4]
+        rays_d = np.einsum("nij,nj->ni", c2w[:, :, :3], dirs)
+        rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = c2w[:, :, 3].copy()
+        from switch_nerf_tpu.datasets.ray_utils import _get_rays_inner
+        return _get_rays_inner(rays_o, rays_d, self._near, self._far,
+                               self._ray_altitude_range)
+
+    # ------------------------------------------------------------ access --
+    def __len__(self) -> int:
+        assert self._loaded is not None, "call load_chunk() first"
+        return self._loaded["rgbs"].shape[0]
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        return {k: v[idx] for k, v in self._loaded.items()}
+
+    def sample_batches(self, batch_size: int, drop_last: bool = True):
+        """Iterate shuffled batches of the loaded chunk."""
+        n = len(self)
+        order = self._rng.permutation(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            idx = order[i:i + batch_size]
+            yield {k: v[idx] for k, v in self._loaded.items()}
+
+    # ----------------------------------------------------------- writing --
+    def _manifest(self, metadata_items, num_chunks, scale_factor) -> Dict:
+        return {
+            "images": len(metadata_items),
+            "num_chunks": num_chunks,
+            "scale_factor": scale_factor,
+            "near": self._near,
+            "far": self._far,
+            "ray_altitude_range": self._ray_altitude_range,
+            "center_pixels": self._center_pixels,
+            "shared_intrinsics": self._shared_intrinsics,
+            "paths": [str(m.image_path) for m in metadata_items[:16]],
+        }
+
+    def _existing_chunk_dir(self, chunk_paths, metadata_items, num_chunks,
+                            scale_factor) -> Optional[Path]:
+        wanted = self._manifest(metadata_items, num_chunks, scale_factor)
+        for cp in sorted(Path(p) for p in chunk_paths):
+            mf = cp / _MANIFEST
+            if mf.exists():
+                have = json.loads(mf.read_text())
+                if have == wanted:
+                    return cp
+                raise ValueError(
+                    f"chunk dir {cp} was written with different settings; "
+                    "delete it or point --chunk_paths elsewhere")
+        return None
+
+    def _write_chunks(self, metadata_items, num_chunks, scale_factor,
+                      disk_flush_size):
+        for i in range(num_chunks):
+            (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
+        buffers: List[Dict[str, List[np.ndarray]]] = [
+            {} for _ in range(num_chunks)]
+        counts = [0] * num_chunks
+        part_ids = [0] * num_chunks
+        pool = ThreadPoolExecutor(max_workers=10)
+        pending: List[Future] = []
+        buffered = 0
+
+        def flush(chunk_id: int):
+            nonlocal buffered
+            buf = buffers[chunk_id]
+            if not buf:
+                return
+            arrays = {k: np.concatenate(v) for k, v in buf.items()}
+            path = (self._chunk_dir / f"chunk_{chunk_id:04d}"
+                    / f"part_{part_ids[chunk_id]:04d}.npz")
+            part_ids[chunk_id] += 1
+            buffered -= arrays["rgbs"].shape[0]
+            buffers[chunk_id] = {}
+            pending.append(pool.submit(
+                lambda p, a: np.savez(p, **a), path, arrays))
+
+        next_chunk = 0
+        for item_idx, item in enumerate(metadata_items):
+            if item_idx % max(1, scale_factor) != 0 and False:
+                continue
+            image_data = get_rgb_index_mask(item, self._rng)
+            if image_data is None:
+                continue
+            rgbs, img_indices, keep_mask = image_data
+            n = rgbs.shape[0]
+
+            if self._shared_intrinsics:
+                pix = np.arange(item.W * item.H, dtype=np.int64)
+                if keep_mask is not None:
+                    pix = pix[keep_mask]
+                cols = {"rgbs": rgbs, "image_indices": img_indices,
+                        "pixel_indices": pix}
+            else:
+                directions = get_ray_directions(
+                    item.W, item.H, item.intrinsics[0], item.intrinsics[1],
+                    item.intrinsics[2], item.intrinsics[3],
+                    self._center_pixels)
+                rays = get_rays(directions, item.c2w, self._near, self._far,
+                                self._ray_altitude_range).reshape(-1, 8)
+                if keep_mask is not None:
+                    rays = rays[keep_mask]
+                cols = {"rgbs": rgbs, "image_indices": img_indices,
+                        "rays": rays.astype(np.float32)}
+
+            perm = self._rng.permutation(n)
+            cols = {k: v[perm] for k, v in cols.items()}
+            splits = np.array_split(np.arange(n), num_chunks)
+            # rotate assignment so chunk fill stays balanced across images
+            for j, sl in enumerate(splits):
+                if sl.size == 0:
+                    continue
+                cid = (next_chunk + j) % num_chunks
+                for k, v in cols.items():
+                    buffers[cid].setdefault(k, []).append(v[sl])
+                counts[cid] += sl.size
+            next_chunk = (next_chunk + 1) % num_chunks
+            buffered += n
+            if buffered >= disk_flush_size:
+                for cid in range(num_chunks):
+                    flush(cid)
+
+        for cid in range(num_chunks):
+            flush(cid)
+        for f in pending:
+            f.result()
+        pool.shutdown()
+        (self._chunk_dir / _MANIFEST).write_text(json.dumps(
+            self._manifest(metadata_items, num_chunks, scale_factor)))

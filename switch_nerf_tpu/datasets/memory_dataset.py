@@ -1,0 +1,60 @@
+"""All-in-RAM ray dataset for small scenes.
+
+Parity target: switch_nerf/datasets/memory_dataset.py:12-63. Host-side numpy;
+batches are materialised as contiguous arrays ready for a single device_put.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from switch_nerf_tpu.datasets.dataset_utils import get_rgb_index_mask
+from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+from switch_nerf_tpu.datasets.ray_utils import get_ray_directions, get_rays
+
+
+class MemoryDataset:
+    def __init__(self, metadata_items: List[ImageMetadata], near: float,
+                 far: float, ray_altitude_range: Optional[Sequence[float]],
+                 center_pixels: bool,
+                 rng: Optional[np.random.Generator] = None):
+        rgbs, rays, indices = [], [], []
+        for item in metadata_items:
+            image_data = get_rgb_index_mask(item, rng)
+            if image_data is None:
+                continue
+            image_rgbs, image_indices, keep_mask = image_data
+            directions = get_ray_directions(
+                item.W, item.H, item.intrinsics[0], item.intrinsics[1],
+                item.intrinsics[2], item.intrinsics[3], center_pixels)
+            image_rays = get_rays(directions, item.c2w, near, far,
+                                  ray_altitude_range).reshape(-1, 8)
+            if keep_mask is not None:
+                image_rays = image_rays[keep_mask]
+            rgbs.append(image_rgbs.astype(np.float32) / 255.0)
+            rays.append(image_rays)
+            indices.append(image_indices)
+
+        self._rgbs = np.concatenate(rgbs)
+        self._rays = np.concatenate(rays)
+        self._image_indices = np.concatenate(indices)
+
+    def __len__(self) -> int:
+        return self._rgbs.shape[0]
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        return {
+            "rgbs": self._rgbs[idx],
+            "rays": self._rays[idx],
+            "image_indices": self._image_indices[idx],
+        }
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int
+                     ) -> Dict[str, np.ndarray]:
+        idx = rng.integers(0, len(self), size=(batch_size,))
+        return {
+            "rgbs": self._rgbs[idx],
+            "rays": self._rays[idx],
+            "image_indices": self._image_indices[idx].astype(np.float32),
+        }

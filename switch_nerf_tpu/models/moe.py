@@ -60,8 +60,12 @@ class MoELayer(nn.Module):
     eval_dispatch: str = "padded"
     param_dtype: jnp.dtype = jnp.float32
     # expert parallelism
-    expert_axis: Optional[str] = None
+    expert_axis: Optional[str] = None        # manual shard_map all_to_all path
     ep_size: int = 1
+    shard_experts_spmd: bool = False         # GSPMD path: constrain the
+    # [E, C, M] dispatch buffer to P('expert') so the XLA partitioner places
+    # the token exchange as an ICI all-to-all (auto analog of Tutel's
+    # all_to_all_single, tutel_moe_layer_nobatch.py:172,185)
 
     @nn.compact
     def __call__(self, x, gate_input=None, *, deterministic: bool = True):
@@ -146,7 +150,13 @@ class MoELayer(nn.Module):
         dispatched = dispatch(x, dp, is_postscore=self.is_postscore,
                               no_score=self.no_score)            # [E, C, M]
 
-        if self.expert_axis is not None and self.ep_size > 1:
+        if self.shard_experts_spmd:
+            from switch_nerf_tpu.parallel.mesh import shard_constraint, EXPERT_AXIS
+            from jax.sharding import PartitionSpec as P
+            dispatched = shard_constraint(dispatched, P(EXPERT_AXIS))
+            expert_out = experts(dispatched)
+            expert_out = shard_constraint(expert_out, P(EXPERT_AXIS))
+        elif self.expert_axis is not None and self.ep_size > 1:
             ep = self.ep_size
             e_local = e // ep
             cap = dispatched.shape[1]

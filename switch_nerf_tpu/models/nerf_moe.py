@@ -57,6 +57,7 @@ class NeRFMoE(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     expert_axis: Optional[str] = None
     ep_size: int = 1
+    shard_experts_spmd: bool = False
 
     def _build_layer(self, tag: str):
         cfg = self.layer_cfg["layers"][tag]
@@ -96,6 +97,7 @@ class NeRFMoE(nn.Module):
                 param_dtype=self.param_dtype,
                 expert_axis=self.expert_axis,
                 ep_size=self.ep_size,
+                shard_experts_spmd=self.shard_experts_spmd,
                 name=f"layer_{tag}")
         if typ == "layernorm":
             return nn.LayerNorm(param_dtype=self.param_dtype, name=f"layer_{tag}")

@@ -1,0 +1,128 @@
+"""Mesh construction and sharding-spec helpers.
+
+Replaces the reference's process-group bootstrap
+(tutel_communicate_nobatch.py:160-263, tutel_system.py:27-49): there is no
+rank/world/NCCL plumbing — a single `jax.sharding.Mesh` with axes
+('data', 'expert') owns every collective, and XLA compiles them onto ICI.
+
+Conventions:
+  * the global ray batch is sharded over BOTH axes flattened —
+    P(('data','expert')) — matching the reference where DDP spans all ranks
+    and (when EP is on) experts are also spread over all ranks
+    (runner.py:97-101);
+  * expert parameters are [E, ...]-leading; under EP they are sharded over
+    'expert' on dim 0 and replicated over 'data';
+  * everything else is replicated.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+EXPERT_AXIS = "expert"
+
+# Parameter-path fragments that mark stacked expert weights ([E, ...] leading
+# dim). ExpertMLP stores fcs as [E, in, out] / biases [E, 1, out]
+# (models/experts.py; reference analog tutel_moe_layer_nobatch.py:837-887).
+_EXPERT_PATH_RE = re.compile(r"(^|/)experts(/|$)")
+
+
+def local_mesh_device_count() -> int:
+    return jax.device_count()
+
+
+def create_mesh(mesh_shape: Optional[Sequence[int]] = None,
+                devices=None) -> Mesh:
+    """Build the ('data','expert') mesh.
+
+    mesh_shape: (n_data, n_expert); default all devices on the data axis
+    (matching the reference's EP-off default, opts.py:125-126). For
+    multi-host pods pass the global device list — callers should put the
+    'expert' axis on the ICI-contiguous innermost dimension so the dispatch
+    all-to-all rides ICI, not DCN.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n, 1)
+    d, e = mesh_shape
+    if d * e != n:
+        raise ValueError(f"mesh_shape {mesh_shape} != device count {n}")
+    arr = np.asarray(devices).reshape(d, e)
+    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+
+
+def batch_spec() -> P:
+    """Rays/rgbs/indices: leading dim sharded over the whole mesh."""
+    return P((DATA_AXIS, EXPERT_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def expert_leaf_spec(path: str, leaf, num_experts: int,
+                     expert_parallel: bool) -> P:
+    """PartitionSpec for one parameter leaf (path is '/'-joined)."""
+    if (expert_parallel and _EXPERT_PATH_RE.search(path)
+            and hasattr(leaf, "ndim") and leaf.ndim >= 1
+            and leaf.shape[0] == num_experts):
+        return P(EXPERT_AXIS)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, num_experts: int,
+                    expert_parallel: bool):
+    """NamedSharding tree for a parameter pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        out = []
+        for k in kp:
+            if hasattr(k, "key"):
+                out.append(str(k.key))
+            elif hasattr(k, "idx"):
+                out.append(str(k.idx))
+            else:
+                out.append(str(k))
+        return "/".join(out)
+
+    specs = {path_str(kp): expert_leaf_spec(path_str(kp), v, num_experts,
+                                            expert_parallel)
+             for kp, v in flat}
+
+    def to_sharding(kp, v):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_constraint(x, spec: P):
+    """with_sharding_constraint that degrades to identity when no mesh is
+    active (unit tests / single-chip paths)."""
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except Exception:
+        return x
+
+
+def all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every element of every leaf is finite.
+
+    SPMD analog of the reference's cross-rank finite vote
+    (runner.py:620-673): computed on globally-sharded values, so all shards
+    agree without an explicit all_gather.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    if not leaves:
+        return jnp.asarray(True)
+    flags = [jnp.all(jnp.isfinite(l)) for l in leaves]
+    return jnp.stack(flags).all()
