@@ -1,0 +1,14 @@
+"""Mega-NeRF test protocol: render val images, PSNR/SSIM/LPIPS on the right
+half. Parity target: switch_nerf/eval_image.py:19-26."""
+from switch_nerf_tpu.config import get_opts, parse_args
+from switch_nerf_tpu.runner import Runner
+
+
+def main(hparams=None) -> None:
+    if hparams is None:
+        hparams = parse_args(get_opts())
+    Runner(hparams).eval_image()
+
+
+if __name__ == "__main__":
+    main()

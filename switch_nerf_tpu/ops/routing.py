@@ -154,7 +154,7 @@ def extract_critical(gates: jnp.ndarray, top_k: int, capacity_factor: float = 1.
             lock = loc_fn(masks[k]) + acc_base
             locations.append(jnp.sum(lock * masks[k], axis=1).astype(jnp.int32))
             counts = counts + jnp.sum(masks[k], axis=0).astype(jnp.int32)
-        denom = jnp.clip(jnp.sum(gates_k, axis=0), a_min=jnp.finfo(jnp.float32).eps)
+        denom = jnp.clip(jnp.sum(gates_k, axis=0), min=jnp.finfo(jnp.float32).eps)
         gates_k = gates_k / denom
 
     capacity = compute_capacity(s, num_experts, top_k, capacity_factor)

@@ -1,0 +1,599 @@
+"""Training/evaluation orchestration — the reference Runner re-imagined as a
+thin host-side driver around the jitted SPMD train/eval steps.
+
+Parity target: switch_nerf/runner.py (3116 LoC). The reference class mixes
+process-group bootstrap, DDP wrapping, AMP plumbing, and the train loop; here
+the device side is three jitted functions (train_step / eval_step /
+render chunks) over a ('data','expert') mesh, and the Runner only:
+
+  * resolves scene geometry (coordinates.pt origin/scale, near/far scaling,
+    ray-altitude transform, ellipse fg bounds — runner.py:153-246),
+  * discovers image metadata (train/val split, masks — :3054-3108),
+  * owns the chunked-dataset loop, meters, checkpoints, and eval protocol
+    (right-half val images, per-image metrics/jpgs — :1406-1607).
+
+Single process per host; multi-chip parallelism is the mesh, not ranks.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import time
+from argparse import Namespace
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from switch_nerf_tpu import metrics as M
+from switch_nerf_tpu.checkpoints import (latest_checkpoint, load_checkpoint,
+                                         save_checkpoint)
+from switch_nerf_tpu.config import get_nerf_dataset_args
+from switch_nerf_tpu.datasets.dataset_utils import get_rgb_index_mask
+from switch_nerf_tpu.datasets.filesystem_dataset import FilesystemDataset
+from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+from switch_nerf_tpu.datasets.memory_dataset import MemoryDataset
+from switch_nerf_tpu.datasets.ray_utils import get_ray_directions, get_rays
+from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
+from switch_nerf_tpu.parallel import (batch_sharding, create_mesh,
+                                      param_shardings)
+from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
+                                     make_eval_step, make_train_step,
+                                     render_config_from_hparams)
+from switch_nerf_tpu.utils.logger import (count_parameters, main_log,
+                                          main_print, setup_logger)
+from switch_nerf_tpu.utils.meters import DictAverageMeter
+from switch_nerf_tpu.utils.visualize import visualize_scalars
+
+
+def _torch_load(path):
+    """IO shim for the Mega-NeRF on-disk formats (.pt metadata files)."""
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+class Runner:
+    def __init__(self, hparams: Namespace, set_experiment_path: bool = True):
+        self.hparams = hparams
+        self.data_type = getattr(hparams, "data_type", "mega_nerf")
+
+        np.random.seed(hparams.random_seed)
+        random.seed(hparams.random_seed)
+        self.init_rng = jax.random.PRNGKey(hparams.random_seed)
+
+        if self.data_type == "nerf":
+            self._init_nerf(set_experiment_path)
+            return
+        if self.data_type == "block_nerf":
+            self._init_block(set_experiment_path)
+            return
+        self._init_mega(set_experiment_path)
+
+    # ------------------------------------------------------------ init ---
+    def _setup_dirs(self, set_experiment_path: bool):
+        if set_experiment_path:
+            self.experiment_path = self._get_experiment_path()
+            self.model_path = self.experiment_path / "models"
+            self.model_path.mkdir(parents=True, exist_ok=True)
+            self.logger = setup_logger(None, self.experiment_path)
+            (self.experiment_path / "hparams.txt").write_text(
+                str(vars(self.hparams)))
+            (self.experiment_path / "command.txt").write_text(
+                " ".join(sys.argv))
+            if self.hparams.config_file is not None and \
+                    Path(self.hparams.config_file).exists():
+                shutil.copy(self.hparams.config_file, self.experiment_path)
+        else:
+            self.experiment_path = None
+            self.model_path = None
+            self.logger = setup_logger(None, None)
+
+    def _get_experiment_path(self) -> Path:
+        # versioned experiment dir (runner.py:3110-3116)
+        exp_dir = Path(self.hparams.exp_name)
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        existing = [int(p.name) for p in exp_dir.iterdir()
+                    if p.is_dir() and p.name.isdigit()]
+        version = max(existing) + 1 if existing else 0
+        path = exp_dir / str(version)
+        path.mkdir(parents=True, exist_ok=True)
+        return path
+
+    def _init_mega(self, set_experiment_path: bool):
+        h = self.hparams
+        self._setup_dirs(set_experiment_path)
+
+        coord = _torch_load(Path(h.dataset_path) / "coordinates.pt")
+        self.origin_drb = np.asarray(coord["origin_drb"], np.float32)
+        self.pose_scale_factor = float(coord["pose_scale_factor"])
+        main_log(f"Origin: {self.origin_drb}, scale factor: "
+                 f"{self.pose_scale_factor}")
+
+        self.near = h.near / self.pose_scale_factor
+        if h.far is not None:
+            self.far = h.far / self.pose_scale_factor
+        elif h.bg_nerf:
+            self.far = 1e5
+        else:
+            self.far = 2.0
+
+        self.ray_altitude_range = (
+            [(x - self.origin_drb[0]) / self.pose_scale_factor
+             for x in h.ray_altitude_range]
+            if h.ray_altitude_range is not None else None)
+        if self.ray_altitude_range is not None:
+            assert self.ray_altitude_range[0] < self.ray_altitude_range[1]
+
+        self.train_items, self.val_items = self._get_image_metadata()
+        main_log(f"Using {len(self.train_items)} train images and "
+                 f"{len(self.val_items)} val images")
+
+        cams = np.stack([x.c2w[:3, 3] for x in
+                         self.train_items + self.val_items])
+        min_pos, max_pos = cams.min(0), cams.max(0)
+
+        self.nerf = get_nerf(h, len(self.train_items))
+        self.bg_nerf = get_bg_nerf(h, len(self.train_items)) \
+            if h.bg_nerf else None
+
+        # ellipse foreground bounds (runner.py:220-246)
+        if self.bg_nerf is not None and h.ellipse_bounds:
+            assert h.ray_altitude_range is not None
+            ground = cams.copy()
+            ground[:, 0] = self.ray_altitude_range[1]
+            air = cams.copy()
+            air[:, 0] = self.ray_altitude_range[0]
+            used = np.concatenate([cams, air, ground])
+            max_pos = max_pos.copy()
+            max_pos[0] = self.ray_altitude_range[1]
+            center = (max_pos + min_pos) * 0.5
+            radius = (max_pos - min_pos) * 0.5
+            scale = np.linalg.norm((used - center) / radius, axis=-1).max()
+            radius = radius * scale * h.ellipse_scale_factor
+            self.sphere_center = jnp.asarray(center, jnp.float32)
+            self.sphere_radius = jnp.asarray(radius, jnp.float32)
+        else:
+            self.sphere_center = None
+            self.sphere_radius = None
+
+        self.mip = bool(h.use_mip)
+        self.appearance_count = len(self.train_items)
+
+    def _init_block(self, set_experiment_path: bool):
+        h = self.hparams
+        self._setup_dirs(set_experiment_path)
+        # Block-NeRF: literal near/far, no bg, mip rendering
+        self.near = h.near
+        self.far = h.far if h.far is not None else 10.0
+        self.ray_altitude_range = None
+        self.origin_drb = None
+        self.pose_scale_factor = 1.0
+        self.train_items, self.val_items = [], []
+        with open(h.block_image_hash_id_map_path) as f:
+            self.image_hash_id_map = json.load(f)
+        self.appearance_count = len(self.image_hash_id_map.get(
+            "train", self.image_hash_id_map)) or 1
+        self.nerf = get_nerf(h, self.appearance_count)
+        self.bg_nerf = None
+        self.sphere_center = None
+        self.sphere_radius = None
+        self.mip = True
+
+    def _init_nerf(self, set_experiment_path: bool):
+        h = self.hparams
+        self._setup_dirs(set_experiment_path)
+        from switch_nerf_tpu.datasets.nerf_data import (
+            NeRFDataset, NeRFDatasetTest, NeRFDatasetTrain, NeRFDatasetVal)
+        args = get_nerf_dataset_args(h)
+        self.nerf_dataset = NeRFDataset(args)
+        self.train_set = NeRFDatasetTrain(self.nerf_dataset)
+        self.val_set = NeRFDatasetVal(self.nerf_dataset)
+        self.test_set = NeRFDatasetTest(self.nerf_dataset)
+        self.near = self.nerf_dataset.near
+        self.far = self.nerf_dataset.far
+        self.ray_altitude_range = None
+        self.appearance_count = max(len(self.nerf_dataset.poses), 1)
+        self.nerf = get_nerf(h, self.appearance_count)
+        self.bg_nerf = None
+        self.sphere_center = None
+        self.sphere_radius = None
+        self.mip = bool(h.use_mip)
+
+    def _get_image_metadata(self) -> Tuple[List[ImageMetadata],
+                                           List[ImageMetadata]]:
+        """Mega-NeRF dataset layout discovery (runner.py:3054-3108)."""
+        h = self.hparams
+        dataset_path = Path(h.dataset_path)
+        train_candidates = sorted(
+            (dataset_path / "train" / "metadata").iterdir())
+        train_paths = [train_candidates[i] for i in
+                       range(0, len(train_candidates), h.train_every)]
+        val_paths = sorted((dataset_path / "val" / "metadata").iterdir())
+        train_paths += val_paths
+        train_paths.sort(key=lambda x: x.name)
+        val_set = set(val_paths)
+        image_indices = {p.name: i for i, p in enumerate(train_paths)}
+        train_items = [self._get_metadata_item(
+            x, image_indices[x.name], h.train_scale_factor, x in val_set)
+            for x in train_paths]
+        val_items = [self._get_metadata_item(
+            x, image_indices[x.name], h.val_scale_factor, True)
+            for x in val_paths]
+        return train_items, val_items
+
+    def _get_metadata_item(self, metadata_path: Path, image_index: int,
+                           scale_factor: int, is_val: bool) -> ImageMetadata:
+        h = self.hparams
+        image_path = None
+        for ext in (".jpg", ".JPG", ".png", ".PNG"):
+            candidate = (metadata_path.parent.parent / "rgbs"
+                         / f"{metadata_path.stem}{ext}")
+            if candidate.exists():
+                image_path = candidate
+                break
+        assert image_path is not None and image_path.exists()
+        md = _torch_load(metadata_path)
+        intrinsics = np.asarray(md["intrinsics"], np.float32) / scale_factor
+        assert md["W"] % scale_factor == 0 and md["H"] % scale_factor == 0
+
+        dataset_mask = (metadata_path.parent.parent.parent / "masks"
+                        / metadata_path.name)
+        if h.cluster_mask_path is not None:
+            mask_path = Path(h.cluster_mask_path) / metadata_path.name
+        elif dataset_mask.exists():
+            mask_path = dataset_mask
+        else:
+            mask_path = None
+        return ImageMetadata(
+            image_path, np.asarray(md["c2w"], np.float32),
+            md["W"] // scale_factor, md["H"] // scale_factor, intrinsics,
+            image_index, None if (is_val and h.all_val) else mask_path,
+            is_val)
+
+    # ------------------------------------------------------- device setup --
+    def _setup_device(self, state):
+        h = self.hparams
+        mesh_shape = tuple(h.mesh_shape) if h.mesh_shape else None
+        self.mesh = create_mesh(mesh_shape)
+        jax.sharding.set_mesh(self.mesh)
+        self.batch_shard = batch_sharding(self.mesh)
+        ep = not h.no_expert_parallel
+        pshard = param_shardings(state.params, self.mesh, h.moe_expert_num, ep)
+        return state.replace(params=jax.device_put(state.params, pshard))
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        n = batch["rays"].shape[0]
+        total = self.mesh.size
+        if n % total:
+            raise ValueError(f"batch size {n} not divisible by mesh {total}")
+        return jax.device_put(batch, {k: self.batch_shard for k in batch})
+
+    # ------------------------------------------------------------ train ---
+    def train(self):
+        """Mega-NeRF / Block-NeRF chunked training (runner.py:476-760)."""
+        h = self.hparams
+        scene = SceneInfo(self.sphere_center, self.sphere_radius)
+        render_cfg = render_config_from_hparams(h)
+        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
+                                   {})
+        main_log(f"Total parameters number is "
+                 f"{count_parameters(state.params)/1024/1024:.4f} M")
+
+        dataset_state, discard_index = None, -1
+        if h.ckpt_path is not None:
+            state, extra = load_checkpoint(h.ckpt_path, state,
+                                           h.resume_ckpt_state)
+            dataset_state = extra.get("dataset_state")
+            discard_index = extra.get("dataset_index", -1) \
+                if h.resume_ckpt_state else -1
+            main_log(f"Resumed from iteration {int(state.step)}")
+
+        state = self._setup_device(state)
+        train_step = jax.jit(make_train_step(
+            self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip),
+            donate_argnums=0)
+
+        if h.dataset_type == "filesystem":
+            if self.data_type == "block_nerf":
+                from switch_nerf_tpu.datasets.block_filesystem_dataset \
+                    import BlockFilesystemDataset
+                dataset = BlockFilesystemDataset(
+                    data_path=h.dataset_path, near=self.near, far=self.far,
+                    scale_factor=h.train_scale_factor,
+                    list_path=h.block_train_list_path,
+                    id_map_path=h.block_image_hash_id_map_path,
+                    chunk_paths=[Path(x) for x in sorted(h.chunk_paths)],
+                    num_chunks=h.num_chunks,
+                    disk_flush_size=h.disk_flush_size,
+                    shuffle_chunk=h.shuffle_chunk)
+            else:
+                dataset = FilesystemDataset(
+                    self.train_items, self.near, self.far,
+                    self.ray_altitude_range, h.center_pixels,
+                    [Path(x) for x in sorted(h.chunk_paths)], h.num_chunks,
+                    h.train_scale_factor, h.disk_flush_size,
+                    h.shuffle_chunk, seed=h.random_seed)
+            if dataset_state is not None:
+                dataset.set_state(dataset_state)
+        elif h.dataset_type == "memory":
+            dataset = MemoryDataset(self.train_items, self.near, self.far,
+                                    self.ray_altitude_range, h.center_pixels)
+        else:
+            raise ValueError(f"Unrecognized dataset type {h.dataset_type}")
+
+        if h.generate_chunk:
+            main_log("Chunk generated")
+            return
+
+        meter = DictAverageMeter()
+        train_iterations = int(state.step)
+        rng_np = np.random.default_rng(h.random_seed + train_iterations)
+        t_start = time.time()
+
+        while train_iterations < h.train_iterations:
+            if h.dataset_type == "filesystem":
+                chunk_t = time.time()
+                dataset.load_chunk()
+                main_log(f"Chunk {dataset.get_state()} loaded in "
+                         f"{time.time()-chunk_t:.2f} s")
+                batches = dataset.sample_batches(h.batch_size)
+            else:
+                def memory_batches():
+                    while True:
+                        yield dataset.sample_batch(rng_np, h.batch_size)
+                batches = memory_batches()
+
+            for dataset_index, batch in enumerate(batches):
+                if dataset_index <= discard_index:
+                    continue
+                discard_index = -1
+                batch = {k: np.asarray(v, np.float32)
+                         for k, v in batch.items()}
+                state, m = train_step(state, self._put_batch(batch))
+                train_iterations += 1
+
+                if train_iterations % h.i_print == 0:
+                    m_host = {k: float(v) for k, v in m.items()}
+                    meter.update(m_host)
+                    rate = h.i_print * h.batch_size / max(
+                        time.time() - t_start, 1e-9) if train_iterations > h.i_print else 0.0
+                    main_log(f"iter {train_iterations} "
+                             + " ".join(f"{k}={v:.4f}"
+                                        for k, v in m_host.items())
+                             + (f" rays/s={rate:.0f}" if rate else ""))
+                    t_start = time.time()
+
+                if self.model_path is not None and \
+                        train_iterations % h.ckpt_interval == 0:
+                    save_checkpoint(self.model_path, state,
+                                    dataset_state=(dataset.get_state()
+                                                   if h.dataset_type ==
+                                                   "filesystem" else None),
+                                    dataset_index=dataset_index)
+                    main_log(f"Saved checkpoint at {train_iterations}")
+
+                if train_iterations % h.val_interval == 0:
+                    self._run_validation_image(state)
+
+                if train_iterations >= h.train_iterations:
+                    break
+
+        if self.model_path is not None:
+            save_checkpoint(self.model_path, state)
+        main_log("Training complete")
+        return state
+
+    def train_nerf(self):
+        """Classic-NeRF epoch training (runner.py:763-943)."""
+        h = self.hparams
+        scene = SceneInfo(None, None)
+        render_cfg = render_config_from_hparams(h)
+        state = create_train_state(self.init_rng, h, self.nerf, None, {})
+        main_log(f"Total parameters number is "
+                 f"{count_parameters(state.params)/1024/1024:.4f} M")
+        if h.ckpt_path is not None:
+            state, _ = load_checkpoint(h.ckpt_path, state,
+                                       h.resume_ckpt_state)
+        state = self._setup_device(state)
+        train_step = jax.jit(make_train_step(
+            self.nerf, None, h, render_cfg, scene, mip=self.mip),
+            donate_argnums=0)
+
+        rng_np = np.random.default_rng(h.random_seed + int(state.step))
+        meter = DictAverageMeter()
+        iters_per_epoch = max(len(self.train_set) // h.batch_size, 1)
+        total = h.num_epochs * iters_per_epoch
+        train_iterations = int(state.step)
+        t_start = time.time()
+        while train_iterations < total:
+            batch = self.train_set.sample_batch(rng_np, h.batch_size)
+            batch = {k: np.asarray(v, np.float32) for k, v in batch.items()}
+            state, m = train_step(state, self._put_batch(batch))
+            train_iterations += 1
+            if train_iterations % h.i_print == 0:
+                m_host = {k: float(v) for k, v in m.items()}
+                meter.update(m_host)
+                main_log(f"iter {train_iterations}/{total} "
+                         + " ".join(f"{k}={v:.4f}" for k, v in m_host.items()))
+            if self.model_path is not None and \
+                    train_iterations % h.ckpt_interval == 0:
+                save_checkpoint(self.model_path, state)
+        if self.model_path is not None:
+            save_checkpoint(self.model_path, state)
+        main_log("Training complete")
+        return state
+
+    # ------------------------------------------------------------- eval ---
+    def _load_eval_state(self):
+        h = self.hparams
+        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
+                                   {})
+        assert h.ckpt_path is not None, "--ckpt_path required for eval"
+        state, _ = load_checkpoint(h.ckpt_path, state,
+                                   restore_rng_states=False)
+        return self._setup_device(state)
+
+    def _make_render_fn(self, state):
+        h = self.hparams
+        render_cfg = render_config_from_hparams(h)
+        scene = SceneInfo(self.sphere_center, self.sphere_radius)
+        eval_step = jax.jit(make_eval_step(
+            self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip))
+
+        def render_chunks(rays: np.ndarray, image_index: float,
+                          radii: Optional[np.ndarray] = None):
+            """Render arbitrary ray count in fixed image_pixel_batch_size
+            chunks (padded => one compiled program)."""
+            n = rays.shape[0]
+            bs = h.image_pixel_batch_size
+            out: Dict[str, List[np.ndarray]] = {}
+            for lo in range(0, n, bs):
+                sl = slice(lo, min(lo + bs, n))
+                r = rays[sl]
+                pad = bs - r.shape[0]
+                if pad:
+                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+                batch = {"rays": jnp.asarray(r),
+                         "image_indices": jnp.full((bs,), image_index,
+                                                   jnp.float32)}
+                if radii is not None:
+                    rr = radii[sl]
+                    if pad:
+                        rr = np.concatenate(
+                            [rr, np.repeat(rr[-1:], pad, 0)], 0)
+                    batch["radii"] = jnp.asarray(rr)
+                res = eval_step(state.params, batch)
+                keep = bs - pad
+                for k, v in res.items():
+                    if hasattr(v, "shape") and v.ndim >= 1 \
+                            and v.shape[0] == bs:
+                        out.setdefault(k, []).append(np.asarray(v[:keep]))
+            return {k: np.concatenate(v) for k, v in out.items()}
+        return render_chunks
+
+    def render_image(self, metadata: ImageMetadata, render_chunks
+                     ) -> Dict[str, np.ndarray]:
+        """Whole-image render (runner.py:2835-2885)."""
+        directions = get_ray_directions(
+            metadata.W, metadata.H, metadata.intrinsics[0],
+            metadata.intrinsics[1], metadata.intrinsics[2],
+            metadata.intrinsics[3], self.hparams.center_pixels)
+        rays = get_rays(directions, metadata.c2w, self.near, self.far,
+                        self.ray_altitude_range).reshape(-1, 8)
+        res = render_chunks(rays, float(metadata.image_index))
+        h, w = metadata.H, metadata.W
+        return {k: v.reshape(h, w, *v.shape[1:]) for k, v in res.items()}
+
+    def _run_validation_image(self, state) -> Dict[str, float]:
+        """Right-half val-image protocol (runner.py:1406-1607)."""
+        hp = self.hparams
+        render_chunks = self._make_render_fn(state)
+        meter = DictAverageMeter()
+        out_dir = (self.experiment_path / f"val_{int(state.step)}"
+                   if self.experiment_path is not None else None)
+        if out_dir is not None:
+            out_dir.mkdir(parents=True, exist_ok=True)
+
+        for i, metadata in enumerate(self.val_items):
+            t0 = time.time()
+            results = self.render_image(metadata, render_chunks)
+            render_time = time.time() - t0
+            typ = "fine" if "rgb_fine" in results else "coarse"
+            pred = np.clip(results[f"rgb_{typ}"], 0.0, 1.0)
+            gt = metadata.load_image().astype(np.float32) / 255.0
+
+            half = metadata.W // 2
+            pred_r, gt_r = pred[:, half:], gt[:, half:]
+            img_metrics = {
+                "psnr": M.psnr(jnp.asarray(pred_r), jnp.asarray(gt_r)),
+                "ssim": M.ssim(pred_r, gt_r, 1.0),
+                "render_time": render_time,
+            }
+            lp = M.lpips(pred_r * 2 - 1, gt_r * 2 - 1)
+            for k, v in lp.items():
+                if v is not None:
+                    img_metrics[f"lpips_{k}"] = v
+            meter.update(img_metrics)
+            main_log(f"val image {i}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in img_metrics.items()))
+
+            if out_dir is not None:
+                self._write_val_outputs(out_dir, i, gt, pred, results, typ,
+                                        img_metrics)
+
+        means = meter.mean()
+        main_log("val means: " + " ".join(f"{k}={v:.4f}"
+                                          for k, v in means.items()))
+        if out_dir is not None:
+            (out_dir / "metrics.txt").write_text(
+                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        return means
+
+    def _write_val_outputs(self, out_dir: Path, idx: int, gt, pred, results,
+                           typ, img_metrics):
+        from PIL import Image
+        trip = [gt, pred]
+        if f"depth_{typ}" in results:
+            trip.append(visualize_scalars(
+                results[f"depth_{typ}"]).astype(np.float32) / 255.0)
+        img = np.concatenate(
+            [np.asarray(t[..., :3]) for t in trip], axis=1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            out_dir / f"{idx:03d}.jpg")
+        (out_dir / f"{idx:03d}.txt").write_text(
+            "\n".join(f"{k}: {v}" for k, v in img_metrics.items()))
+
+    # ------------------------------------------- public eval entrypoints --
+    def eval_image(self):
+        state = self._load_eval_state()
+        return self._run_validation_image(state)
+
+    def eval_nerf(self):
+        state = self._load_eval_state()
+        return self._run_validation_nerf(state)
+
+    def eval_ckpt(self):
+        """Checkpoint sanity: load + report param count (runner.py:1008+)."""
+        state = self._load_eval_state()
+        n = count_parameters(state.params)
+        main_log(f"Checkpoint at step {int(state.step)}: {n/1e6:.3f}M params")
+        return state
+
+    def _run_validation_nerf(self, state) -> Dict[str, float]:
+        """Classic-NeRF whole-image eval (runner.py:2205-2500)."""
+        hp = self.hparams
+        render_chunks = self._make_render_fn(state)
+        meter = DictAverageMeter()
+        out_dir = (self.experiment_path / f"val_{int(state.step)}"
+                   if self.experiment_path is not None else None)
+        if out_dir is not None:
+            out_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(self.val_set)):
+            sample = self.val_set[i]
+            rays = sample["rays"].reshape(-1, 8)
+            radii = sample.get("radii")
+            if radii is not None:
+                radii = radii.reshape(-1, 1)
+            res = render_chunks(rays, float(sample["img_i"]), radii)
+            typ = "fine" if "rgb_fine" in res else "coarse"
+            h, w = sample["rgbs"].shape[:2]
+            pred = np.clip(res[f"rgb_{typ}"].reshape(h, w, 3), 0.0, 1.0)
+            gt = sample["rgbs"]
+            img_metrics = {"psnr": M.psnr(jnp.asarray(pred), jnp.asarray(gt)),
+                           "ssim": M.ssim(pred, gt, 1.0)}
+            meter.update(img_metrics)
+            main_log(f"val image {i}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in img_metrics.items()))
+            if out_dir is not None:
+                self._write_val_outputs(out_dir, i, gt, pred,
+                                        {f"rgb_{typ}": pred}, typ,
+                                        img_metrics)
+        means = meter.mean()
+        main_log("val means: " + " ".join(f"{k}={v:.4f}"
+                                          for k, v in means.items()))
+        return means

@@ -1,0 +1,216 @@
+"""End-to-end Runner tests on synthetic scenes (CPU 8-device mesh).
+
+Covers SURVEY.md §7 step 3 (minimum end-to-end slice): dataset discovery ->
+training loop -> checkpoint -> resume -> eval protocol, for both the
+Mega-NeRF path (memory dataset, fg/bg, appearance embeddings) and the
+chunked filesystem path.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from switch_nerf_tpu.config import get_opts, parse_args
+
+
+@pytest.fixture(scope="module")
+def mega_dataset(tmp_path_factory):
+    """Synthetic Mega-NeRF dataset: coordinates.pt + per-image metadata.pt +
+    rgbs pngs, 4 train + 1 val, 24x16."""
+    import torch
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mega")
+    w, h = 24, 16
+    rng = np.random.default_rng(0)
+    for split, names in (("train", ["000", "001", "002", "003"]),
+                         ("val", ["004"])):
+        (root / split / "metadata").mkdir(parents=True)
+        (root / split / "rgbs").mkdir(parents=True)
+        for name in names:
+            # camera above origin looking down (+x is down in drb)
+            c2w = np.eye(3, 4, dtype=np.float32)
+            c2w[:, 3] = rng.normal(0, 0.1, 3).astype(np.float32)
+            c2w[0, 3] -= 0.5
+            torch.save({"c2w": torch.tensor(c2w), "W": w, "H": h,
+                        "intrinsics": torch.tensor([20.0, 20.0, w / 2,
+                                                    h / 2])},
+                       root / split / "metadata" / f"{name}.pt")
+            img = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+            Image.fromarray(img).save(root / split / "rgbs" / f"{name}.jpg")
+    torch.save({"origin_drb": torch.zeros(3),
+                "pose_scale_factor": 10.0}, root / "coordinates.pt")
+    return root
+
+
+def mega_hparams(root, tmp, **over):
+    h = parse_args(get_opts(), [
+        "--exp_name", str(tmp / "exp"), "--dataset_path", str(root)])
+    h.dataset_type = "memory"
+    h.ray_altitude_range = [-30.0, 5.0]
+    h.near = 0.5
+    h.pos_xyz_dim = 2
+    h.pos_dir_dim = 1
+    h.appearance_dim = 4
+    h.layers = 2
+    h.skip_layers = [1]
+    h.layer_dim = 16
+    h.bg_layer_dim = 16
+    h.coarse_samples = 4
+    h.fine_samples = 4
+    h.model_chunk_size = 4096
+    h.batch_size = 64
+    h.image_pixel_batch_size = 128
+    h.train_iterations = 6
+    h.ckpt_interval = 3
+    h.val_interval = 100
+    h.i_print = 2
+    h.amp = False
+    for k, v in over.items():
+        setattr(h, k, v)
+    return h
+
+
+def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
+    from switch_nerf_tpu.runner import Runner
+
+    h = mega_hparams(mega_dataset, tmp_path)
+    runner = Runner(h)
+    assert runner.pose_scale_factor == 10.0
+    assert runner.near == pytest.approx(0.05)
+    # altitude range transformed into [-1,1] space
+    assert runner.ray_altitude_range[0] == pytest.approx(-3.0)
+    assert runner.sphere_center is not None  # ellipse bounds computed
+
+    state = runner.train()
+    assert int(state.step) == 6
+
+    # checkpoint written at steps 3 and 6
+    models = runner.model_path
+    steps = sorted(int(p.name) for p in models.iterdir() if p.name.isdigit())
+    assert steps == [3, 6]
+
+    # resume from the step-3 checkpoint and train to 6 again
+    h2 = mega_hparams(mega_dataset, tmp_path / "resume")
+    h2.ckpt_path = str(models / "3")
+    runner2 = Runner(h2)
+    state2 = runner2.train()
+    assert int(state2.step) == 6
+
+    # eval protocol from final checkpoint
+    h3 = mega_hparams(mega_dataset, tmp_path / "eval")
+    h3.ckpt_path = str(models / "6")
+    runner3 = Runner(h3)
+    means = runner3.eval_image()
+    assert "psnr" in means and np.isfinite(means["psnr"])
+    assert "ssim" in means and -1.0 <= means["ssim"] <= 1.0
+    # per-image outputs written
+    val_dirs = list(runner3.experiment_path.glob("val_*"))
+    assert val_dirs and any(p.suffix == ".jpg"
+                            for p in val_dirs[0].iterdir())
+
+
+def test_filesystem_dataset_chunks(mega_dataset, tmp_path):
+    """Chunk write -> cyclic load -> ray reconstruction -> resume state."""
+    import torch
+    from switch_nerf_tpu.datasets.filesystem_dataset import FilesystemDataset
+    from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+
+    items = []
+    for i, p in enumerate(sorted(
+            (mega_dataset / "train" / "metadata").iterdir())):
+        md = torch.load(p, weights_only=False)
+        items.append(ImageMetadata(
+            mega_dataset / "train" / "rgbs" / f"{p.stem}.jpg",
+            md["c2w"].numpy(), md["W"], md["H"], md["intrinsics"].numpy(),
+            i, None, False))
+
+    ds = FilesystemDataset(items, 0.05, 2.0, None, True,
+                           [tmp_path / "chunks"], num_chunks=3,
+                           scale_factor=1, disk_flush_size=1000)
+    ds.load_chunk()
+    n0 = len(ds)
+    assert n0 > 0
+    item = ds[0]
+    assert item["rays"].shape == (8,) and item["rgbs"].shape == (3,)
+    # rays reconstructed from pixel indices (shared intrinsics path)
+    assert np.isfinite(item["rays"]).all()
+    d = item["rays"][3:6]
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, rtol=1e-5)
+
+    # batches cover the chunk
+    total = sum(b["rays"].shape[0] for b in ds.sample_batches(16))
+    assert total == n0 - n0 % 16
+
+    # state round-trip
+    s = ds.get_state()
+    ds.load_chunk()
+    ds.set_state(s)
+    ds.load_chunk()
+    assert len(ds) == n0
+
+    # reuse across instances validates the manifest
+    ds2 = FilesystemDataset(items, 0.05, 2.0, None, True,
+                            [tmp_path / "chunks"], num_chunks=3,
+                            scale_factor=1, disk_flush_size=1000)
+    ds2.load_chunk()
+    assert sum(len(list((tmp_path / "chunks" / f"chunk_{i:04d}").iterdir()))
+               for i in range(3)) >= 3
+
+    # mismatched settings must be rejected, not silently reused
+    with pytest.raises(ValueError):
+        FilesystemDataset(items, 0.07, 2.0, None, True,
+                          [tmp_path / "chunks"], num_chunks=3,
+                          scale_factor=1, disk_flush_size=1000)
+
+
+def test_metrics_psnr_ssim():
+    from switch_nerf_tpu import metrics as M
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (16, 24, 3)).astype(np.float32)
+    assert M.psnr(img, img) > 80
+    assert M.ssim(img, img, 1.0) == pytest.approx(1.0, abs=1e-4)
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
+        np.float32)
+    p = M.psnr(img, noisy)
+    assert 15 < p < 25
+    s = M.ssim(img, noisy, 1.0)
+    assert 0.0 < s < 1.0
+    # masked variants agree with full when mask is all-True
+    mask = np.ones(img.shape[:2], bool)
+    assert M.psnr_mask(img, noisy, mask) == pytest.approx(p, abs=1e-4)
+    assert M.ssim_mask(img, noisy, 1.0, mask) == pytest.approx(s, abs=1e-4)
+    # lpips degrades gracefully without weights
+    lp = M.lpips(img, noisy)
+    assert lp == {"vgg": None, "alex": None, "squeeze": None}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from switch_nerf_tpu.checkpoints import (latest_checkpoint,
+                                             load_checkpoint,
+                                             save_checkpoint)
+    from switch_nerf_tpu.trainer import TrainState, create_optimizer
+    from switch_nerf_tpu.config import get_opts_base
+
+    h = parse_args(get_opts_base(), [])
+    tx = create_optimizer(h)
+    params = {"nerf": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params=params,
+                       opt_state=tx.init(params),
+                       rng=jax.random.PRNGKey(3), tx=tx)
+    save_checkpoint(tmp_path, state, dataset_state="2", dataset_index=5)
+    assert latest_checkpoint(tmp_path).name == "7"
+
+    fresh = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=jax.tree_util.tree_map(jnp.zeros_like, params),
+                       opt_state=tx.init(params),
+                       rng=jax.random.PRNGKey(0), tx=tx)
+    restored, extra = load_checkpoint(tmp_path, fresh)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["nerf"]["w"]),
+        np.arange(6.0).reshape(2, 3))
+    assert extra["dataset_state"] == "2" and extra["dataset_index"] == 5
