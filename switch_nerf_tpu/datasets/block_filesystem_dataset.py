@@ -1,0 +1,284 @@
+"""Block-NeRF (Waymo Mission Bay) dataset: GZIP tfrecords -> shuffled chunks.
+
+Parity target: switch_nerf/datasets/block_filesystem_dataset.py:25-467 —
+  * tf.io parse schema: image_hash / cam_idx / equivalent_exposure / height /
+    width / png image / ray_origins / ray_dirs / intrinsics (+ int64 mask on
+    val records, 1 == moving object == invalid) (:25-56);
+  * precomputed per-pixel ray origins/dirs from the records;
+  * mip radii from vertical direction deltas x 2/sqrt(12) (:331-337);
+  * training chunks store [radii | origin | dir] with near/far appended at
+    load; __getitem__ returns rgbs/rays/radii/image_indices (:137-143);
+  * validation keeps the LEFT half for training; eval reads full records
+    with masks (:389-408);
+  * image_hash -> embedding id map from the json id-map file.
+
+TensorFlow is used for record parsing only (host-side IO); nothing TF ever
+touches the TPU.
+"""
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import Future, ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+
+
+def compute_radii(rays_d: np.ndarray) -> np.ndarray:
+    """rays_d [H, W, 3] -> mip base radii [H, W, 1]."""
+    dx = np.sqrt(np.sum((rays_d[:-1, :, :] - rays_d[1:, :, :]) ** 2, -1))
+    dx = np.concatenate([dx, dx[-2:-1, :]], 0)
+    return dx[..., None] * 2.0 / np.sqrt(12.0)
+
+
+def handle_one_record(tfrecord, hash_id_map: Dict[str, int],
+                      load_mask: bool = False) -> List[Dict]:
+    """Decode every image in one GZIP tfrecord file."""
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+
+    schema = {
+        "image_hash": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "cam_idx": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "equivalent_exposure": tf.io.FixedLenFeature([], dtype=tf.float32),
+        "height": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "width": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "image": tf.io.FixedLenFeature([], dtype=tf.string),
+        "ray_origins": tf.io.VarLenFeature(tf.float32),
+        "ray_dirs": tf.io.VarLenFeature(tf.float32),
+        "intrinsics": tf.io.VarLenFeature(tf.float32),
+    }
+    if load_mask:
+        schema["mask"] = tf.io.VarLenFeature(tf.int64)
+
+    ds = tf.data.TFRecordDataset(str(tfrecord), compression_type="GZIP")
+    out = []
+    for record in ds:
+        batch = tf.io.parse_single_example(record, schema)
+        image_hash = str(int(batch["image_hash"]))
+        image = np.asarray(tf.io.decode_png(batch["image"], channels=0,
+                                            dtype=tf.uint8))
+        # records store BGR; flip to RGB (reference uses cv2 BGR2RGB)
+        image = image[..., ::-1].copy()
+        h, w = int(batch["height"]), int(batch["width"])
+        d = {
+            "image_hash": image_hash,
+            "cam_idx": int(batch["cam_idx"]),
+            "equivalent_exposure": float(batch["equivalent_exposure"]),
+            "height": h,
+            "width": w,
+            "intrinsics": np.asarray(
+                tf.sparse.to_dense(batch["intrinsics"])),
+            "image": image.astype(np.uint8),
+            "ray_origins": np.asarray(tf.sparse.to_dense(
+                batch["ray_origins"])).reshape(h, w, 3),
+            "ray_dirs": np.asarray(tf.sparse.to_dense(
+                batch["ray_dirs"])).reshape(h, w, 3),
+            "image_ids": int(hash_id_map[image_hash]),
+        }
+        if load_mask:
+            d["mask"] = np.asarray(tf.sparse.to_dense(
+                batch["mask"])).reshape(h, w, 1).astype(np.float32)
+        out.append(d)
+    return out
+
+
+def load_tfrecord(tfrecord_path, hash_id_map, near: float, far: float,
+                  load_mask: bool = False) -> List[Dict]:
+    """Eval-side loader: full images + rays + radii (+masks)."""
+    dicts = handle_one_record(tfrecord_path, hash_id_map=hash_id_map,
+                              load_mask=load_mask)
+    for d in dicts:
+        rgbs = d["image"].astype(np.float32) / 255.0
+        o, dirs = d["ray_origins"], d["ray_dirs"]
+        radii = compute_radii(dirs)
+        nf = np.full((*o.shape[:-1], 1), near, np.float32)
+        ff = np.full((*o.shape[:-1], 1), far, np.float32)
+        d["rgbs"] = rgbs
+        d["rays"] = np.concatenate([o, dirs, nf, ff], -1).astype(np.float32)
+        d["radii"] = radii.astype(np.float32)
+        d["image_indices"] = np.full(o.shape[:2], d["image_ids"], np.int16)
+    return dicts
+
+
+class BlockFilesystemDataset:
+    """tfrecords -> shuffled npz chunk parts (same layout machinery as
+    FilesystemDataset); chunk rows are [radii(1) | o(3) | d(3)] + rgbs +
+    image ids, near/far appended at load."""
+
+    def __init__(self, data_path, near: float, far: float, scale_factor: int,
+                 list_path, id_map_path, chunk_paths: Sequence[Path],
+                 num_chunks: int, disk_flush_size: int,
+                 shuffle_chunk: bool = False, seed: int = 42):
+        self._near, self._far = float(near), float(far)
+        self._rng = np.random.default_rng(seed)
+        self._shuffle_chunk = shuffle_chunk
+
+        self._tfrecord_paths = self._get_tfrecord_paths(data_path, list_path)
+        with open(id_map_path) as f:
+            self._image_hash_id_map = json.load(f)
+
+        root = Path(sorted(str(p) for p in chunk_paths)[0])
+        manifest = {"records": [os.path.basename(str(p))
+                                for p in self._tfrecord_paths],
+                    "num_chunks": num_chunks, "near": self._near,
+                    "far": self._far, "scale_factor": scale_factor}
+        mf = root / _MANIFEST
+        if mf.exists():
+            if json.loads(mf.read_text()) != manifest:
+                raise ValueError(f"chunk dir {root} written with different "
+                                 "settings; delete it or change chunk_paths")
+        else:
+            root.mkdir(parents=True, exist_ok=True)
+            self._chunk_dir = root
+            self._write_chunks(num_chunks, disk_flush_size, scale_factor)
+            mf.write_text(json.dumps(manifest))
+        self._chunk_dir = root
+
+        self._chunk_paths = sorted(
+            p for p in root.iterdir()
+            if p.is_dir() and p.name.startswith("chunk_"))
+        if shuffle_chunk:
+            order = self._rng.permutation(len(self._chunk_paths))
+            self._chunk_paths = [self._chunk_paths[i] for i in order]
+
+        self._chunk_index = 0
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._loaded: Optional[Dict[str, np.ndarray]] = None
+        self._next: Optional[Future] = None
+        self._start_prefetch()
+
+    @staticmethod
+    def _get_tfrecord_paths(data_path, list_path) -> List[Path]:
+        names = [l.strip() for l in Path(list_path).read_text().splitlines()
+                 if l.strip()]
+        return [Path(data_path) / n for n in names]
+
+    # ------------------------------------------------------------- state --
+    def get_state(self) -> str:
+        return str(self._chunk_index)
+
+    def set_state(self, state: str) -> None:
+        self._chunk_index = int(state) % len(self._chunk_paths)
+        self._next = None
+        self._start_prefetch()
+
+    def _start_prefetch(self):
+        path = self._chunk_paths[self._chunk_index]
+        self._next = self._executor.submit(self._read_chunk, path)
+
+    def load_chunk(self) -> None:
+        self._loaded = self._next.result()
+        self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
+        self._start_prefetch()
+
+    def _read_chunk(self, path: Path) -> Dict[str, np.ndarray]:
+        arrays: Dict[str, List[np.ndarray]] = {}
+        for p in sorted(path.glob("part_*.npz")):
+            with np.load(p) as z:
+                for k in z.files:
+                    arrays.setdefault(k, []).append(z[k])
+        out = {k: np.concatenate(v) for k, v in arrays.items()}
+        raydata = out["raydata"].astype(np.float32)     # [N, 7] radii|o|d
+        n = raydata.shape[0]
+        nf = np.full((n, 1), self._near, np.float32)
+        ff = np.full((n, 1), self._far, np.float32)
+        return {
+            "rgbs": out["rgbs"].astype(np.float32) / 255.0,
+            "rays": np.concatenate([raydata[:, 1:7], nf, ff], -1),
+            "radii": raydata[:, 0:1],
+            "image_indices": out["image_indices"].astype(np.float32),
+        }
+
+    def __len__(self) -> int:
+        return self._loaded["rgbs"].shape[0]
+
+    def __getitem__(self, idx):
+        return {k: v[idx] for k, v in self._loaded.items()}
+
+    def sample_batches(self, batch_size: int, drop_last: bool = True):
+        n = len(self)
+        order = self._rng.permutation(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            idx = order[i:i + batch_size]
+            yield {k: v[idx] for k, v in self._loaded.items()}
+
+    # ----------------------------------------------------------- writing --
+    def _write_chunks(self, num_chunks: int, disk_flush_size: int,
+                      scale_factor: int):
+        for i in range(num_chunks):
+            (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
+        buffers: List[Dict[str, List[np.ndarray]]] = [
+            {} for _ in range(num_chunks)]
+        part_ids = [0] * num_chunks
+        pool = ThreadPoolExecutor(max_workers=10)
+        pending: List[Future] = []
+        buffered = 0
+
+        def flush(cid: int):
+            nonlocal buffered
+            buf = buffers[cid]
+            if not buf:
+                return
+            arrays = {k: np.concatenate(v) for k, v in buf.items()}
+            path = (self._chunk_dir / f"chunk_{cid:04d}"
+                    / f"part_{part_ids[cid]:04d}.npz")
+            part_ids[cid] += 1
+            buffered -= arrays["rgbs"].shape[0]
+            buffers[cid] = {}
+            pending.append(pool.submit(
+                lambda p, a: np.savez(p, **a), path, arrays))
+
+        next_chunk = 0
+        for rec in self._tfrecord_paths:
+            id_map = self._image_hash_id_map[os.path.basename(str(rec))] \
+                if os.path.basename(str(rec)) in self._image_hash_id_map \
+                else self._image_hash_id_map
+            dicts = handle_one_record(rec, hash_id_map=id_map)
+            is_val = "validation" in str(rec)
+            for d in dicts:
+                w = d["width"]
+                img, o, dirs = d["image"], d["ray_origins"], d["ray_dirs"]
+                radii = compute_radii(dirs)
+                if is_val:
+                    img = img[:, :w // 2]
+                    o = o[:, :w // 2]
+                    dirs = dirs[:, :w // 2]
+                    radii = radii[:, :w // 2]
+                if scale_factor > 1:
+                    img = img[::scale_factor, ::scale_factor]
+                    o = o[::scale_factor, ::scale_factor]
+                    dirs = dirs[::scale_factor, ::scale_factor]
+                    radii = radii[::scale_factor, ::scale_factor]
+                rgbs = img.reshape(-1, 3)
+                raydata = np.concatenate(
+                    [radii.reshape(-1, 1), o.reshape(-1, 3),
+                     dirs.reshape(-1, 3)], -1).astype(np.float32)
+                ids = np.full((rgbs.shape[0],), d["image_ids"], np.int16)
+
+                n = rgbs.shape[0]
+                perm = self._rng.permutation(n)
+                cols = {"rgbs": rgbs[perm], "raydata": raydata[perm],
+                        "image_indices": ids}
+                splits = np.array_split(np.arange(n), num_chunks)
+                for j, sl in enumerate(splits):
+                    if sl.size == 0:
+                        continue
+                    cid = (next_chunk + j) % num_chunks
+                    for k, v in cols.items():
+                        buffers[cid].setdefault(k, []).append(v[sl])
+                next_chunk = (next_chunk + 1) % num_chunks
+                buffered += n
+                if buffered >= disk_flush_size:
+                    for cid in range(num_chunks):
+                        flush(cid)
+        for cid in range(num_chunks):
+            flush(cid)
+        for f in pending:
+            f.result()
+        pool.shutdown()

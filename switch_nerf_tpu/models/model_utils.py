@@ -100,8 +100,16 @@ def _get_single_nerf_inner(hparams, appearance_count: int, layer_dim: int,
 def _get_nerf_inner(hparams, appearance_count: int, layer_dim: int,
                     xyz_dim: int, model_cfg_name: str) -> nn.Module:
     if getattr(hparams, "use_cascade", False):
-        raise NotImplementedError(
-            "cascade coarse/fine pairs land with the Cascade module wiring")
+        from switch_nerf_tpu.models.cascade import Cascade
+
+        def build():
+            if getattr(hparams, "use_moe", False):
+                return get_nerf_moe_inner(hparams, appearance_count, xyz_dim,
+                                          model_cfg_name=model_cfg_name)
+            return _get_single_nerf_inner(hparams, appearance_count,
+                                          layer_dim, xyz_dim)
+        return Cascade(coarse=build(),
+                       fine=build() if hparams.fine_samples > 0 else None)
     if getattr(hparams, "use_moe", False):
         return get_nerf_moe_inner(hparams, appearance_count, xyz_dim,
                                   model_cfg_name=model_cfg_name)

@@ -175,8 +175,10 @@ class MoELayer(nn.Module):
         else:
             expert_out = experts(dispatched)
 
-        return combine(expert_out.astype(jnp.float32), dp,
-                       is_postscore=self.is_postscore, no_score=self.no_score)
+        # combine gathers in the expert-output dtype (bf16 under AMP) and
+        # accumulates the gate multiply in fp32 internally
+        return combine(expert_out, dp, is_postscore=self.is_postscore,
+                       no_score=self.no_score)
 
     def _nodrop_path(self, x, plan, experts):
         """Sort-by-expert + ragged grouped GEMM; zero token drops.

@@ -26,6 +26,7 @@ the trash row.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -89,31 +90,124 @@ def dispatch(tokens: jnp.ndarray, dp: DispatchPlan, *, is_postscore: bool = True
     ranges are disjoint by construction (locations of k>0 are offset by the
     cumulative counts of earlier k; tutel_fast_dispatch.py:196-202), so a
     plain sum over k is exact.
+
+    custom_vjp: the slot<->token maps are inverse partial permutations, so
+    the transpose (normally an XLA scatter-add — slow on TPU) is realised as
+    a GATHER by the inverse map in both directions. This is the TPU analog
+    of the reference's hand-written backward-data/backward-gate CUDA kernels
+    (tutel_sparse_nobatch.py:38-134), obtained structurally instead.
     """
-    kk, ec = dp.slot_to_token.shape
-    m = tokens.shape[-1]
-    gathered = tokens[dp.slot_to_token.reshape(-1)].reshape(kk, ec, m)
-    scale = dp.filled.astype(tokens.dtype)
-    if not (is_postscore or no_score):
-        gate_per_slot = jax.vmap(lambda g, stt: g[stt])(
-            dp.gates.astype(tokens.dtype), dp.slot_to_token)        # [K, E*C]
-        scale = scale * gate_per_slot
-    out = jnp.sum(gathered * scale[..., None], axis=0)              # [E*C, M]
-    return out.reshape(dp.num_experts, dp.capacity, m)
+    prescore = not (is_postscore or no_score)
+    out = _dispatch_p(tokens, dp.gates, dp.slot, dp.kept, dp.slot_to_token,
+                      dp.filled, prescore)
+    return out.reshape(dp.num_experts, dp.capacity, tokens.shape[-1])
 
 
 def combine(expert_output: jnp.ndarray, dp: DispatchPlan, *,
             is_postscore: bool = True, no_score: bool = False) -> jnp.ndarray:
-    """expert_output [E, C, M] -> combined [S, M]."""
+    """expert_output [E, C, M] -> combined [S, M] (gather-only VJP)."""
+    postscore = is_postscore and not no_score
     ec = dp.num_experts * dp.capacity
-    m = expert_output.shape[-1]
-    flat = expert_output.reshape(ec, m)
-    safe_slot = jnp.clip(dp.slot, 0, ec - 1)                        # [K, S]
-    rows = flat[safe_slot.reshape(-1)].reshape(*dp.slot.shape, m)   # [K, S, M]
-    scale = dp.kept.astype(flat.dtype)
-    if is_postscore and not no_score:
-        scale = scale * dp.gates.astype(flat.dtype)
-    return jnp.sum(rows * scale[..., None], axis=0)                 # [S, M]
+    flat = expert_output.reshape(ec, expert_output.shape[-1])
+    return _combine_p(flat, dp.gates, dp.slot, dp.kept, dp.slot_to_token,
+                      dp.filled, postscore)
+
+
+# ---- dispatch primitive -----------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _dispatch_p(tokens, gates, slot, kept, stt, filled, prescore):
+    out, _ = _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
+    return out
+
+
+def _dispatch_fwd_impl(tokens, gates, stt, filled, prescore):
+    kk, ec = stt.shape
+    m = tokens.shape[-1]
+    gathered = tokens[stt.reshape(-1)].reshape(kk, ec, m)
+    scale = filled.astype(tokens.dtype)
+    if prescore:
+        gate_per_slot = jnp.take_along_axis(
+            gates.astype(tokens.dtype), stt, axis=1)                # [K, E*C]
+        scale = scale * gate_per_slot
+    out = jnp.sum(gathered * scale[..., None], axis=0)              # [E*C, M]
+    return out, gathered
+
+
+def _dispatch_fwd(tokens, gates, slot, kept, stt, filled, prescore):
+    out, _ = _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
+    return out, (tokens, gates, slot, kept, stt, filled)
+
+
+def _dispatch_bwd(prescore, res, g):
+    tokens, gates, slot, kept, stt, filled = res
+    kk, s = slot.shape
+    ec, m = g.shape[0], g.shape[-1]
+    g_ext = jnp.concatenate([g, jnp.zeros((1, m), g.dtype)], axis=0)
+    rows = g_ext[slot.reshape(-1)].reshape(kk, s, m)                # [K, S, M]
+    keptf = kept.astype(g.dtype)
+    if prescore:
+        d_tokens = jnp.sum(
+            rows * (keptf * gates.astype(g.dtype))[..., None], axis=0)
+        d_gates = jnp.einsum("ksm,sm->ks", rows, tokens,
+                             preferred_element_type=jnp.float32) * kept
+    else:
+        d_tokens = jnp.sum(rows * keptf[..., None], axis=0)
+        d_gates = jnp.zeros_like(gates)
+    return (d_tokens.astype(tokens.dtype), d_gates.astype(gates.dtype),
+            None, None, None, None)
+
+
+_dispatch_p.defvjp(_dispatch_fwd, _dispatch_bwd)
+
+
+# ---- combine primitive ------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _combine_p(flat, gates, slot, kept, stt, filled, postscore):
+    """Gather expert rows in their native dtype (bf16 traffic), then apply
+    the gate scale with fp32 accumulation — matches the reference's fp32
+    decode (tutel_fast_dispatch.py:106-114) without fp32 gather traffic."""
+    ec, m = flat.shape
+    flat_ext = jnp.concatenate([flat, jnp.zeros((1, m), flat.dtype)], axis=0)
+    rows = flat_ext[slot.reshape(-1)].reshape(*slot.shape, m)       # [K, S, M]
+    scale = kept.astype(jnp.float32)
+    if postscore:
+        scale = scale * gates.astype(jnp.float32)
+    return jnp.sum(rows.astype(jnp.float32) * scale[..., None], axis=0)
+
+
+def _combine_fwd(flat, gates, slot, kept, stt, filled, postscore):
+    return (_combine_p(flat, gates, slot, kept, stt, filled, postscore),
+            (flat, gates, slot, kept, stt, filled))
+
+
+def _combine_bwd(postscore, res, d_y):
+    flat, gates, slot, kept, stt, filled = res
+    kk, ec = stt.shape
+    m = d_y.shape[-1]
+    # d_flat[slot] = d_y[token] * scale  ==  gather d_y by slot->token;
+    # gather in the (bf16) expert dtype to halve HBM traffic
+    d_y_lo = d_y.astype(flat.dtype)
+    rows = d_y_lo[stt.reshape(-1)].reshape(kk, ec, m)               # [K,EC,M]
+    scale = filled.astype(flat.dtype)
+    if postscore:
+        gate_per_slot = jnp.take_along_axis(
+            gates.astype(flat.dtype), stt, axis=1)
+        scale = scale * gate_per_slot
+    d_flat = jnp.sum(rows * scale[..., None], axis=0)
+    if postscore:
+        flat_ext = jnp.concatenate([flat, jnp.zeros((1, m), flat.dtype)], 0)
+        sel = flat_ext[slot.reshape(-1)].reshape(*slot.shape, m)
+        d_gates = jnp.einsum("ksm,sm->ks", sel, d_y_lo,
+                             preferred_element_type=jnp.float32) * kept
+    else:
+        d_gates = jnp.zeros_like(gates)
+    return (d_flat.astype(flat.dtype), d_gates.astype(gates.dtype),
+            None, None, None, None)
+
+
+_combine_p.defvjp(_combine_fwd, _combine_bwd)
 
 
 # ----------------------------------------------------------------------------

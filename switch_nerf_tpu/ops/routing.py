@@ -47,10 +47,13 @@ def compute_sorted_location(mask: jnp.ndarray, importance_scores: jnp.ndarray) -
     cumsum runs in that order, and the result is scattered back, masked to
     the one-hot support (matching `sorted_cumsum * sorted_x`).
     """
+    s = mask.shape[0]
     order = jnp.argsort(importance_scores, axis=0, stable=True)  # [S]
     sorted_mask = mask[order]
     sorted_loc = cumsum_sub_one(sorted_mask) * sorted_mask.astype(jnp.int32)
-    inv = jnp.argsort(order, axis=0, stable=True)
+    # inverse permutation via scatter of arange (cheaper than a second sort)
+    inv = jnp.zeros((s,), jnp.int32).at[order].set(
+        jnp.arange(s, dtype=jnp.int32))
     return sorted_loc[inv]
 
 
@@ -126,12 +129,11 @@ def extract_critical(gates: jnp.ndarray, top_k: int, capacity_factor: float = 1.
     num_experts = num_experts or e
     top_k = min(top_k, e)
 
-    _, topk_idx = jax.lax.top_k(gates, top_k)          # [S, K]
+    topk_vals, topk_idx = jax.lax.top_k(gates, top_k)   # [S, K]
     indices = jnp.transpose(topk_idx).astype(jnp.int32)  # [K, S]
 
     masks = jax.nn.one_hot(indices, e, dtype=jnp.int32)  # [K, S, E]
-    gates_k = jnp.einsum("se,kse->ks", gates.astype(jnp.float32),
-                         masks.astype(jnp.float32))      # [K, S]
+    gates_k = jnp.transpose(topk_vals).astype(jnp.float32)  # [K, S]
 
     l_aux = load_balance(gates, masks[0], num_experts)
 

@@ -126,18 +126,67 @@ def sample_cdf(bins: jnp.ndarray, cdf: jnp.ndarray, fine_samples: int,
     else:
         u = jax.random.uniform(rng, (n_rays, fine_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(inds - 1, 0, None)
-    above = jnp.clip(inds, None, n_bins)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
-
+    cdf_below, cdf_above, bins_below, bins_above = interval_lookup(
+        cdf, bins, u)
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-8, 1.0, denom)
     return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+
+
+def interval_lookup(cdf: jnp.ndarray, bins: jnp.ndarray, u: jnp.ndarray):
+    """For each query u, the bracketing (cdf, bin) pairs — sort-based.
+
+    Equivalent to inds = searchsorted(cdf, u, side='right');
+    below = inds-1 (>=0 since cdf[...,0]==0 <= u); above = min(inds, B);
+    returning cdf[below], cdf[above], bins[below], bins[above].
+
+    TPU-native: searchsorted + 4x take_along_axis lower to dynamic-gather
+    fusions that dominate the whole training step on small rows (profiled at
+    ~45 ms/step on the Building config). Instead: one multi-operand
+    lax.sort merges the sorted cdf events with the queries, running
+    cummax / reversed-cummin carry the bracketing values to each query, and
+    a second sort routes results back to query order. cdf and bins are both
+    non-decreasing along the row, which makes cummax/cummin exact carries.
+
+    cdf: [N, B+1] non-decreasing, cdf[...,0] == 0; bins: [N, B+1]
+    non-decreasing; u: [N, F] in [0, 1).
+    """
+    n, b1 = cdf.shape
+    f = u.shape[-1]
+    neg = jnp.finfo(cdf.dtype).min
+    pos = jnp.finfo(cdf.dtype).max
+
+    keys = jnp.concatenate([cdf, u], axis=-1)                    # [N, B1+F]
+    tag = jnp.concatenate([jnp.zeros((n, b1), jnp.int32),
+                           jnp.ones((n, f), jnp.int32)], axis=-1)
+    cdf_pay = jnp.concatenate([cdf, jnp.zeros((n, f), cdf.dtype)], -1)
+    bin_pay = jnp.concatenate([bins, jnp.zeros((n, f), bins.dtype)], -1)
+    qpos = jnp.concatenate([jnp.zeros((n, b1), jnp.int32),
+                            jnp.arange(f, dtype=jnp.int32)[None].repeat(n, 0)],
+                           axis=-1)
+
+    k_s, tag_s, cdf_s, bin_s, pos_s = jax.lax.sort(
+        (keys, tag, cdf_pay, bin_pay, qpos), dimension=-1, num_keys=2,
+        is_stable=True)
+
+    is_cdf = tag_s == 0
+    # carry the latest cdf/bin value forward (both are non-decreasing)
+    below_cdf = jax.lax.cummax(jnp.where(is_cdf, cdf_s, neg), axis=1)
+    below_bin = jax.lax.cummax(jnp.where(is_cdf, bin_s, neg), axis=1)
+    # next cdf/bin value backward; +inf tail -> clamp to the row's last entry
+    above_cdf = jax.lax.cummin(jnp.where(is_cdf, cdf_s, pos), axis=1,
+                               reverse=True)
+    above_bin = jax.lax.cummin(jnp.where(is_cdf, bin_s, pos), axis=1,
+                               reverse=True)
+    above_cdf = jnp.where(above_cdf == pos, cdf[:, -1:], above_cdf)
+    above_bin = jnp.where(above_bin == pos, bins[:, -1:], above_bin)
+
+    # route back: sort by (tag, original query position); queries land in
+    # the last F slots in original order
+    _, _, bc, ac, bb, ab = jax.lax.sort(
+        (tag_s, pos_s, below_cdf, above_cdf, below_bin, above_bin),
+        dimension=-1, num_keys=2, is_stable=True)
+    return bc[:, b1:], ac[:, b1:], bb[:, b1:], ab[:, b1:]
 
 
 def intersect_sphere(rays_o: jnp.ndarray, rays_d: jnp.ndarray,

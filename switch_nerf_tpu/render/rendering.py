@@ -96,6 +96,24 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
     return outputs, moe_losses
 
 
+def _sort_merge(z: jnp.ndarray, rgbs: jnp.ndarray, sigmas: jnp.ndarray,
+                depth_real: Optional[jnp.ndarray] = None):
+    """Sort samples by z along the last axis, carrying rgb/sigma payloads
+    through one multi-operand lax.sort (TPU-native; replaces argsort +
+    take_along_axis which lower to slow dynamic-gather fusions)."""
+    from switch_nerf_tpu.ops.sorting import sort_with_payloads
+    ops = (rgbs[..., 0], rgbs[..., 1], rgbs[..., 2], sigmas)
+    if depth_real is not None:
+        ops = ops + (depth_real,)
+    out = sort_with_payloads(z, *ops)
+    z_s = out[0]
+    rgb_s = jnp.stack(out[1:4], axis=-1)
+    sig_s = out[4]
+    if depth_real is not None:
+        return z_s, rgb_s, sig_s, out[5]
+    return z_s, rgb_s, sig_s
+
+
 def _build_points(xyz: jnp.ndarray, rays_d: jnp.ndarray,
                   image_indices: Optional[jnp.ndarray], pos_dir_dim: int):
     """[N, S, xd] (+dirs +idx broadcast over samples) -> flat [N*S, D]."""
@@ -159,10 +177,18 @@ def render_rays(model_fn: ModelFn,
                 train: bool = False,
                 get_depth: bool = False,
                 get_depth_variance: bool = False,
-                get_bg_fg_rgb: bool = False) -> Dict[str, jnp.ndarray]:
+                get_bg_fg_rgb: bool = False,
+                model_fn_fine: Optional[ModelFn] = None,
+                bg_model_fn_fine: Optional[ModelFn] = None
+                ) -> Dict[str, jnp.ndarray]:
     """rays: [N, 8] = [o, d, near, far]. Returns the reference's results dict
     (rgb_fine / rgb_coarse / depth_* / gate_loss_* / bg_gate_loss_* ...).
+
+    model_fn_fine: separate fine-level model (Cascade pairs,
+    switch_nerf/models/cascade.py); defaults to model_fn.
     """
+    model_fn_fine = model_fn_fine or model_fn
+    bg_model_fn_fine = bg_model_fn_fine or bg_model_fn
     n_rays = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
@@ -193,7 +219,8 @@ def render_rays(model_fn: ModelFn,
     bg = {}
     if has_bg:
         bg = _render_background(
-            bg_model_fn, rays_o3, rays_d3, image_indices, cfg,
+            (bg_model_fn, bg_model_fn_fine), rays_o3, rays_d3,
+            image_indices, cfg,
             sphere_center, sphere_radius,
             (r_perturb_bg, r_fine_bg, r_bg_c, r_bg_f), train,
             get_depth, get_depth_variance)
@@ -238,20 +265,19 @@ def render_rays(model_fn: ModelFn,
 
         xyz_fine = rays_o3 + rays_d3 * fine_z[..., None]
         rgbs_f, sigmas_f, zv_f, _, moe_loss_f = _inference(
-            model_fn, xyz_fine, fine_z, rays_d3, image_indices, last_delta,
-            cfg, r_model_f, train, flip=False, depth_real=None)
+            model_fn_fine, xyz_fine, fine_z, rays_d3, image_indices,
+            last_delta, cfg, r_model_f, train, flip=False, depth_real=None)
         results["gate_loss_fine"] = moe_loss_f.reshape(-1)
 
         if not cfg.use_cascade:
             # merge coarse + fine raw samples before compositing
-            # (rendering.py:419-433)
-            z_all = jnp.concatenate([zv_f, zv_c], axis=-1)
-            order = jnp.argsort(z_all, axis=-1)
-            z_all = jnp.take_along_axis(z_all, order, axis=-1)
-            rgb_all = jnp.take_along_axis(
-                jnp.concatenate([rgbs_f, rgbs_c], axis=-2), order[..., None], axis=-2)
-            sig_all = jnp.take_along_axis(
-                jnp.concatenate([sigmas_f, sigmas_c], axis=-1), order, axis=-1)
+            # (rendering.py:419-433). Multi-operand lax.sort carries the
+            # payload channels through the sort network — argsort +
+            # take_along_axis gathers are pathologically slow on TPU.
+            z_all, rgb_all, sig_all = _sort_merge(
+                jnp.concatenate([zv_f, zv_c], axis=-1),
+                jnp.concatenate([rgbs_f, rgbs_c], axis=-2),
+                jnp.concatenate([sigmas_f, sigmas_c], axis=-1))
         else:
             z_all, rgb_all, sig_all = zv_f, rgbs_f, sigmas_f
 
@@ -311,12 +337,14 @@ def render_rays(model_fn: ModelFn,
     return results
 
 
-def _render_background(bg_model_fn, rays_o3, rays_d3, image_indices,
+def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
                        cfg: RenderConfig, sphere_center, sphere_radius,
                        rngs, train, get_depth, get_depth_variance):
     """Inverted-sphere background pass over ALL rays (masked composition is
     applied by the caller). Mirrors rendering.py:42-77 with half coarse and
     half fine samples, flip ordering."""
+    bg_model_fn, bg_model_fn_fine = bg_model_fns
+    bg_model_fn_fine = bg_model_fn_fine or bg_model_fn
     r_perturb, r_fine, r_model_c, r_model_f = rngs
     n_rays = rays_o3.shape[0]
     perturb = cfg.perturb if train else 0.0
@@ -355,21 +383,18 @@ def _render_background(bg_model_fn, rays_o3, rays_d3, image_indices,
         bg_pts_f, depth_real_f = depth2pts_outside(rays_o3, rays_d3, fine_z_asc,
                                                    sphere_center, sphere_radius)
         rgbs_f, sigmas_f, zv_f, dr_f, moe_loss_f = _inference(
-            bg_model_fn, bg_pts_f, fine_z_asc, rays_d3, image_indices,
+            bg_model_fn_fine, bg_pts_f, fine_z_asc, rays_d3, image_indices,
             last_delta, cfg, r_model_f, train, flip=True, depth_real=depth_real_f)
         results["gate_loss_fine"] = moe_loss_f.reshape(-1)
 
         if not cfg.use_cascade:
-            # merge coarse+fine (descending z ordering -> flip sort)
-            z_all = jnp.concatenate([zv_f, zv_c], axis=-1)
-            order = jnp.argsort(-z_all, axis=-1)
-            z_all = jnp.take_along_axis(z_all, order, axis=-1)
-            rgb_all = jnp.take_along_axis(
-                jnp.concatenate([rgbs_f, rgbs_c], axis=-2), order[..., None], axis=-2)
-            sig_all = jnp.take_along_axis(
-                jnp.concatenate([sigmas_f, sigmas_c], axis=-1), order, axis=-1)
-            dr_all = jnp.take_along_axis(
-                jnp.concatenate([dr_f, dr_c], axis=-1), order, axis=-1)
+            # merge coarse+fine (descending z ordering -> sort on -z)
+            z_neg, rgb_all, sig_all, dr_all = _sort_merge(
+                -jnp.concatenate([zv_f, zv_c], axis=-1),
+                jnp.concatenate([rgbs_f, rgbs_c], axis=-2),
+                jnp.concatenate([sigmas_f, sigmas_c], axis=-1),
+                jnp.concatenate([dr_f, dr_c], axis=-1))
+            z_all = -z_neg
         else:
             z_all, rgb_all, sig_all, dr_all = zv_f, rgbs_f, sigmas_f, dr_f
 

@@ -96,20 +96,34 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
     )
 
 
-def make_model_fn(model, params, rng: Optional[jax.Array], train: bool):
+def make_model_fn(model, params, rng: Optional[jax.Array], train: bool,
+                  use_coarse: Optional[bool] = None):
     """Adapt a Flax module to the renderer's ModelFn contract:
     model_fn(points [P,D], sigma_noise, rng, train) -> (out [P,4], moe_loss [L]).
+
+    use_coarse selects the level on Cascade models (cascade.py parity).
     """
+    kwargs = {} if use_coarse is None else {"use_coarse": use_coarse}
+
     def model_fn(pts, sigma_noise, mrng, is_train):
         rngs = {"gate_noise": mrng} if (is_train and mrng is not None) else None
         out = model.apply({"params": params}, pts, sigma_noise=sigma_noise,
-                          deterministic=not is_train, rngs=rngs)
+                          deterministic=not is_train, rngs=rngs, **kwargs)
         if isinstance(out, dict):
             moe = out["extras"].get("moe_loss",
                                     jnp.zeros((0,), jnp.float32))
             return out["outputs"], moe
         return out, jnp.zeros((0,), jnp.float32)
     return model_fn
+
+
+def make_model_fn_pair(model, params, rng, train):
+    """(coarse_fn, fine_fn_or_None) — fine differs only for Cascade."""
+    from switch_nerf_tpu.models.cascade import Cascade
+    if isinstance(model, Cascade):
+        return (make_model_fn(model, params, rng, train, use_coarse=True),
+                make_model_fn(model, params, rng, train, use_coarse=False))
+    return make_model_fn(model, params, rng, train), None
 
 
 def _mse(pred, target):
@@ -179,7 +193,8 @@ def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
 
     def loss_fn(params, batch, rng):
         r_model, r_bg = jax.random.split(rng)
-        model_fn = make_model_fn(model, params["nerf"], r_model, True)
+        model_fn, model_fn_fine = make_model_fn_pair(
+            model, params["nerf"], r_model, True)
         image_indices = batch.get("image_indices") \
             if hparams.appearance_dim > 0 else None
         if mip:
@@ -189,13 +204,15 @@ def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
             metrics = compute_losses(results, batch["rgbs"], hparams,
                                      mip_or_cascade_coarse=True)
         else:
-            bg_fn = None
+            bg_fn, bg_fn_fine = None, None
             if bg_model is not None and "bg_nerf" in params:
-                bg_fn = make_model_fn(bg_model, params["bg_nerf"], r_bg, True)
+                bg_fn, bg_fn_fine = make_model_fn_pair(
+                    bg_model, params["bg_nerf"], r_bg, True)
             results = render_rays(
                 model_fn, bg_fn, batch["rays"], image_indices, render_cfg,
                 scene.sphere_center, scene.sphere_radius, rng, train=True,
-                get_depth_variance=True)
+                get_depth_variance=True, model_fn_fine=model_fn_fine,
+                bg_model_fn_fine=bg_fn_fine)
             metrics = compute_losses(results, batch["rgbs"], hparams,
                                      mip_or_cascade_coarse=hparams.use_cascade)
         return metrics["all_loss"], metrics
@@ -226,20 +243,23 @@ def make_eval_step(model, bg_model, hparams, render_cfg: RenderConfig,
                    scene: SceneInfo, mip: bool = False) -> Callable:
     """eval_step(params, batch, rng) -> results dict (no grads, det=True)."""
     def eval_step(params, batch, rng=None):
-        model_fn = make_model_fn(model, params["nerf"], None, False)
+        model_fn, model_fn_fine = make_model_fn_pair(
+            model, params["nerf"], None, False)
         image_indices = batch.get("image_indices") \
             if hparams.appearance_dim > 0 else None
         if mip:
             return render_rays_mip(model_fn, batch["rays"], batch["radii"],
                                    image_indices, render_cfg, rng,
                                    train=False, get_depth=True)
-        bg_fn = None
+        bg_fn, bg_fn_fine = None, None
         if bg_model is not None and "bg_nerf" in params:
-            bg_fn = make_model_fn(bg_model, params["bg_nerf"], None, False)
+            bg_fn, bg_fn_fine = make_model_fn_pair(
+                bg_model, params["bg_nerf"], None, False)
         return render_rays(model_fn, bg_fn, batch["rays"], image_indices,
                            render_cfg, scene.sphere_center,
                            scene.sphere_radius, rng, train=False,
-                           get_depth=True)
+                           get_depth=True, model_fn_fine=model_fn_fine,
+                           bg_model_fn_fine=bg_fn_fine)
     return eval_step
 
 
