@@ -1,0 +1,14 @@
+"""Per-expert point-cloud export (scene-decomposition visualization).
+Parity target: switch_nerf/eval_points.py -> Runner.eval_points."""
+from switch_nerf_tpu.config import get_opts, parse_args
+from switch_nerf_tpu.runner import Runner
+
+
+def main(hparams=None) -> None:
+    if hparams is None:
+        hparams = parse_args(get_opts())
+    Runner(hparams).eval_points()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,8 @@ class MoELayer(nn.Module):
         dp = build_dispatch_plan(plan, e)
         dispatched = dispatch(x, dp, is_postscore=self.is_postscore,
                               no_score=self.no_score)            # [E, C, M]
+        from jax.ad_checkpoint import checkpoint_name
+        dispatched = checkpoint_name(dispatched, "moe_dispatched")
 
         if self.shard_experts_spmd:
             from switch_nerf_tpu.parallel.mesh import shard_constraint, EXPERT_AXIS

@@ -61,6 +61,7 @@ class DispatchPlan(NamedTuple):
 
 
 def build_dispatch_plan(plan: RoutingPlan, num_experts: int) -> DispatchPlan:
+    from jax.ad_checkpoint import checkpoint_name
     k, s = plan.indices.shape
     cap = int(plan.capacity)
     ec = num_experts * cap
@@ -77,8 +78,17 @@ def build_dispatch_plan(plan: RoutingPlan, num_experts: int) -> DispatchPlan:
     filled = slot_to_token < s
     slot_to_token = jnp.where(filled, slot_to_token, 0)
 
+    # mark routing decisions as remat-saveable: recomputing the sorts /
+    # cumsums / scatters in the backward pass costs far more than the few
+    # MB of int32 state (policy applied in render.run_model_chunked)
+    slot = checkpoint_name(slot, "moe_plan")
+    kept = checkpoint_name(kept, "moe_plan")
+    slot_to_token = checkpoint_name(slot_to_token, "moe_plan")
+    filled = checkpoint_name(filled, "moe_plan")
+
     return DispatchPlan(slot=slot, kept=kept, slot_to_token=slot_to_token,
-                        filled=filled, gates=plan.gates,
+                        filled=filled,
+                        gates=checkpoint_name(plan.gates, "moe_plan"),
                         num_experts=num_experts, capacity=cap)
 
 

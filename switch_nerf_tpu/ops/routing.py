@@ -43,18 +43,27 @@ def compute_sorted_location(mask: jnp.ndarray, importance_scores: jnp.ndarray) -
     """Batch-prioritized routing: positions assigned in importance order.
 
     importance_scores: [S]; lower = more important (reference passes
-    -max_gate). Tokens are ranked by a stable argsort of the scores, the
-    cumsum runs in that order, and the result is scattered back, masked to
-    the one-hot support (matching `sorted_cumsum * sorted_x`).
+    -max_gate). Tokens are ranked by a stable sort of the scores, the
+    per-expert cumsum runs in that order, and locations return to token
+    order via a second sort — no gathers/scatters (argsort +
+    mask[order] + sorted_loc[inv] lower to slow dynamic-gather fusions
+    on TPU; multi-operand sorts carry the payloads through the sorting
+    network instead).
     """
-    s = mask.shape[0]
-    order = jnp.argsort(importance_scores, axis=0, stable=True)  # [S]
-    sorted_mask = mask[order]
-    sorted_loc = cumsum_sub_one(sorted_mask) * sorted_mask.astype(jnp.int32)
-    # inverse permutation via scatter of arange (cheaper than a second sort)
-    inv = jnp.zeros((s,), jnp.int32).at[order].set(
-        jnp.arange(s, dtype=jnp.int32))
-    return sorted_loc[inv]
+    s, e = mask.shape
+    expert_of = jnp.argmax(mask, axis=1).astype(jnp.int32)       # [S]
+    pos = jnp.arange(s, dtype=jnp.int32)
+    # stable ascending sort by importance, carrying (expert id, token pos)
+    _, _, expert_sorted, pos_sorted = jax.lax.sort(
+        (importance_scores, pos, expert_of, pos), dimension=0, num_keys=2)
+    sorted_mask = jax.nn.one_hot(expert_sorted, e, dtype=jnp.int32)
+    loc_sorted = jnp.sum(cumsum_sub_one(sorted_mask) * sorted_mask,
+                         axis=1).astype(jnp.int32)               # [S]
+    # route back to token order
+    _, loc = jax.lax.sort((pos_sorted, loc_sorted), dimension=0, num_keys=1)
+    # [S] per-token location -> [S, E] masked matrix (same contract as the
+    # cumsum-over-mask form: nonzero only at the token's expert column)
+    return loc[:, None] * mask.astype(jnp.int32)
 
 
 def load_balance(gates: jnp.ndarray, mask1: jnp.ndarray, num_global_experts: int) -> jnp.ndarray:
@@ -129,7 +138,12 @@ def extract_critical(gates: jnp.ndarray, top_k: int, capacity_factor: float = 1.
     num_experts = num_experts or e
     top_k = min(top_k, e)
 
-    topk_vals, topk_idx = jax.lax.top_k(gates, top_k)   # [S, K]
+    if top_k == 1:
+        # argmax/max beat lax.top_k's sort lowering on TPU
+        topk_idx = jnp.argmax(gates, axis=1, keepdims=True)
+        topk_vals = jnp.max(gates, axis=1, keepdims=True)
+    else:
+        topk_vals, topk_idx = jax.lax.top_k(gates, top_k)   # [S, K]
     indices = jnp.transpose(topk_idx).astype(jnp.int32)  # [K, S]
 
     masks = jax.nn.one_hot(indices, e, dtype=jnp.int32)  # [K, S, E]

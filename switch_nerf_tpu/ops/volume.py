@@ -118,7 +118,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, fine_samples: int,
 def sample_cdf(bins: jnp.ndarray, cdf: jnp.ndarray, fine_samples: int,
                det: bool, rng: Optional[jax.Array]) -> jnp.ndarray:
     n_rays, n_bins = cdf.shape
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, B+1]
+    # explicit zeros shape: zeros_like(cdf[..., :1]) collapses when B == 0
+    # (degenerate background passes with coarse_samples // 2 == 2)
+    cdf = jnp.concatenate([jnp.zeros((n_rays, 1), cdf.dtype), cdf],
+                          axis=-1)                                # [N, B+1]
 
     if det or rng is None:
         u = jnp.linspace(0.0, 1.0, fine_samples, dtype=cdf.dtype)

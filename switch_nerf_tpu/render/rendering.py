@@ -81,7 +81,13 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
         return model_fn(pts, sigma_noise, model_rng, train)
 
     if cfg.remat_chunks:
-        one_chunk = jax.checkpoint(one_chunk)
+        # save the MoE routing plan + dispatch buffers across the remat
+        # boundary: the backward then reuses them instead of re-running the
+        # routing sorts and dispatch gathers (~67 MB/chunk bf16 + few MB
+        # int32 — cheap next to the recompute)
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "moe_plan", "moe_dispatched")
+        one_chunk = jax.checkpoint(one_chunk, policy=policy)
 
     if n_chunks == 1:
         out, moe_loss = one_chunk(xs[0], chunk_rngs[0])

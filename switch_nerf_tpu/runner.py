@@ -557,6 +557,122 @@ class Runner:
         state = self._load_eval_state()
         return self._run_validation_nerf(state)
 
+    def eval_points(self):
+        """Scene-decomposition evidence: per-expert colored point clouds.
+
+        Parity: eval_points.py -> _run_validation_points (runner.py:1871-2202)
+        with --moe_return_gates --return_pts --return_pts_rgb
+        --return_pts_alpha; coarse samples only (the reference's supported
+        mode, render_test_points_typ=['coarse']).
+        """
+        assert self.hparams.use_moe, "eval_points requires a MoE model"
+        self.hparams.moe_return_gates = True
+        # rebuild the model with gate returns enabled
+        self.nerf = get_nerf(self.hparams, self.appearance_count)
+        state = self._load_eval_state()
+        return self._run_validation_points(state)
+
+    def _run_validation_points(self, state):
+        import jax
+        from switch_nerf_tpu.utils.ply import write_ply_points
+        from switch_nerf_tpu.utils.visualize import voc_palette
+        from switch_nerf_tpu.ops.volume import expand_and_perturb_z_vals
+
+        h = self.hparams
+        model = self.nerf
+        s_coarse = h.coarse_samples
+        skip = h.render_test_points_sample_skip
+        base_dir = (self.experiment_path or Path(".")) / "eval_points"
+
+        @jax.jit
+        def point_fn(params, pts):
+            out = model.apply({"params": params["nerf"]}, pts,
+                              deterministic=True)
+            gates = jnp.stack(out["extras"]["moe_gates"], axis=1)  # [S,L,K]
+            return out["outputs"], gates
+
+        n_images = min(len(self.val_items), h.render_test_points_image_num)
+        written = []
+        for i in range(n_images):
+            metadata = self.val_items[i]
+            directions = get_ray_directions(
+                metadata.W, metadata.H, metadata.intrinsics[0],
+                metadata.intrinsics[1], metadata.intrinsics[2],
+                metadata.intrinsics[3], h.center_pixels)
+            rays = get_rays(directions, metadata.c2w, self.near, self.far,
+                            self.ray_altitude_range).reshape(-1, 8)
+
+            all_pts, all_rgb, all_alpha, all_gates = [], [], [], []
+            bs = h.image_pixel_batch_size
+            for lo in range(0, rays.shape[0], bs):
+                r = rays[lo:lo + bs]
+                n = r.shape[0]
+                pad = bs - n
+                if pad:
+                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+                o, d = r[:, 0:3], r[:, 3:6]
+                near, far = r[:, 6:7], r[:, 7:8]
+                z = near + (far - near) * np.linspace(
+                    0.0, 1.0, s_coarse, dtype=np.float32)[None, :]
+                xyz = o[:, None, :] + d[:, None, :] * z[..., None]
+                parts = [xyz.reshape(-1, 3)]
+                if h.pos_dir_dim > 0:
+                    parts.append(np.repeat(d, s_coarse, axis=0))
+                if h.appearance_dim > 0:
+                    parts.append(np.full((bs * s_coarse, 1),
+                                         metadata.image_index, np.float32))
+                pts = np.concatenate(parts, -1).astype(np.float32)
+
+                out, gates = point_fn(state.params, jnp.asarray(pts))
+                out = np.asarray(out).reshape(bs, s_coarse, -1)
+                gates = np.asarray(gates).reshape(bs, s_coarse,
+                                                  *gates.shape[1:])
+                rgb, sigma = out[..., :3], out[..., 3]
+                deltas = np.concatenate(
+                    [z[:, 1:] - z[:, :-1],
+                     1e10 * np.ones((bs, 1), np.float32)], -1)
+                alpha = 1.0 - np.exp(-deltas * sigma)
+
+                sl = slice(None, None, skip)
+                all_pts.append(xyz[:n, sl].reshape(-1, 3))
+                all_rgb.append(rgb[:n, sl].reshape(-1, 3))
+                all_alpha.append(alpha[:n, sl].reshape(-1))
+                all_gates.append(
+                    gates[:n, sl, :, :].reshape(-1, *gates.shape[2:]))
+
+            pts = np.concatenate(all_pts)
+            rgb = np.clip(np.concatenate(all_rgb), 0, 1)
+            alpha = np.clip(np.concatenate(all_alpha), 0, 1)
+            gates = np.concatenate(all_gates)      # [P, L, K]
+            rgba = (np.concatenate([rgb, alpha[:, None]], -1)
+                    * 255).astype(np.uint8)
+
+            out_dir = base_dir / str(i)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            write_ply_points(out_dir / f"{i:03d}_coarse_pts_rgba.ply",
+                             pts, rgba)
+            written.append(out_dir / f"{i:03d}_coarse_pts_rgba.ply")
+            k_val = gates.shape[-1]
+            palette = voc_palette()
+            for tmp_k in range(k_val):
+                idx_k = gates[:, 0, tmp_k]         # first moe layer
+                for expert_id in range(h.moe_expert_num):
+                    sel = idx_k == expert_id
+                    name = (f"{i:03d}_coarse_pts_rgba_top_{tmp_k}"
+                            f"_exp_{expert_id}.ply")
+                    write_ply_points(out_dir / name, pts[sel], rgba[sel])
+                    written.append(out_dir / name)
+                if tmp_k == 0 and h.return_pts_class_seg:
+                    seg = palette[idx_k.astype(np.int64) % 256]
+                    seg_rgba = np.concatenate(
+                        [seg, (alpha[:, None] * 255).astype(np.uint8)], -1)
+                    write_ply_points(
+                        out_dir / f"{i:03d}_coarse_pts_seg.ply",
+                        pts, seg_rgba)
+            main_log(f"eval_points image {i}: {pts.shape[0]} points, "
+                     f"{len(written)} PLY files")
+        return written
+
     def eval_ckpt(self):
         """Checkpoint sanity: load + report param count (runner.py:1008+)."""
         state = self._load_eval_state()

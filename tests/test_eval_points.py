@@ -1,0 +1,119 @@
+"""eval_points PLY export + merge_points + PLY IO roundtrip."""
+import numpy as np
+import pytest
+
+from switch_nerf_tpu.utils.ply import read_ply_points, write_ply_points
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(0, 1, (100, 3)).astype(np.float32)
+    rgba = rng.integers(0, 255, (100, 4), dtype=np.uint8)
+    p = tmp_path / "pts.ply"
+    write_ply_points(p, xyz, rgba)
+    x2, r2 = read_ply_points(p)
+    np.testing.assert_array_equal(xyz, x2)
+    np.testing.assert_array_equal(rgba, r2)
+
+
+def test_eval_points_and_merge(tmp_path):
+    """Train a tiny MoE 2 iters on a synthetic scene, export point clouds,
+    merge them."""
+    import torch
+    from PIL import Image
+
+    # synthetic scene (same layout as test_runner_e2e)
+    root = tmp_path / "scene"
+    w, h = 16, 12
+    rng = np.random.default_rng(0)
+    for split, names in (("train", ["000", "001"]), ("val", ["002"])):
+        (root / split / "metadata").mkdir(parents=True)
+        (root / split / "rgbs").mkdir(parents=True)
+        for name in names:
+            c2w = np.eye(3, 4, dtype=np.float32)
+            c2w[:, 3] = rng.normal(0, 0.1, 3).astype(np.float32)
+            c2w[0, 3] -= 0.5
+            torch.save({"c2w": torch.tensor(c2w), "W": w, "H": h,
+                        "intrinsics": torch.tensor([15.0, 15.0, w / 2,
+                                                    h / 2])},
+                       root / split / "metadata" / f"{name}.pt")
+            img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+            Image.fromarray(img).save(root / split / "rgbs" / f"{name}.jpg")
+    torch.save({"origin_drb": torch.zeros(3), "pose_scale_factor": 10.0},
+               root / "coordinates.pt")
+
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.runner import Runner
+    from tests.test_trainer import tiny_moe_graph
+
+    def hp(exp):
+        hh = parse_args(get_opts(), [
+            "--exp_name", str(tmp_path / exp), "--dataset_path", str(root)])
+        hh.dataset_type = "memory"
+        hh.near = 0.5
+        hh.bg_nerf = False
+        hh.use_moe = True
+        hh.use_moe_external_gate = True
+        hh.moe_expert_num = 4
+        hh.moe_train_batch = True
+        hh.moe_test_batch = True
+        hh.model = tiny_moe_graph()
+        hh.pos_xyz_dim = 2
+        hh.pos_dir_dim = 1
+        hh.appearance_dim = 4
+        hh.coarse_samples = 4
+        hh.fine_samples = 4
+        hh.model_chunk_size = 2048
+        hh.batch_size = 32
+        hh.image_pixel_batch_size = 64
+        hh.train_iterations = 2
+        hh.ckpt_interval = 2
+        hh.i_print = 1
+        hh.amp = False
+        hh.render_test_points_image_num = 1
+        hh.render_test_points_sample_skip = 2
+        hh.return_pts_class_seg = True
+        return hh
+
+    h1 = hp("train")
+    runner = Runner(h1)
+    runner.train()
+    ckpt = runner.model_path / "2"
+    assert ckpt.exists()
+
+    h2 = hp("points")
+    h2.ckpt_path = str(ckpt)
+    runner2 = Runner(h2)
+    written = runner2.eval_points()
+    assert written, "no PLY files written"
+    # all-points + 4 experts + seg
+    names = {p.name for p in written}
+    assert "000_coarse_pts_rgba.ply" in names
+    assert "000_coarse_pts_rgba_top_0_exp_0.ply" in names
+
+    all_ply = next(p for p in written
+                   if p.name == "000_coarse_pts_rgba.ply")
+    xyz, rgba = read_ply_points(all_ply)
+    # val image is downscaled by val_scale_factor (default 4):
+    # (H/4)*(W/4) rays x ceil(4/2) samples
+    vi = runner2.val_items[0]
+    assert xyz.shape[0] == vi.H * vi.W * 2
+    # expert clouds partition the all-points cloud
+    total = 0
+    for e in range(4):
+        x_e, _ = read_ply_points(
+            all_ply.parent / f"000_coarse_pts_rgba_top_0_exp_{e}.ply")
+        total += x_e.shape[0]
+    assert total == xyz.shape[0]
+    # seg cloud exists (return_pts_class_seg)
+    assert (all_ply.parent / "000_coarse_pts_seg.ply").exists()
+
+    # merge script
+    from scripts.merge_points import merge
+    merged_dir = tmp_path / "merged"
+    merge(all_ply.parent.parent, merged_dir, down_scale=0.5,
+          expert_num=4)
+    merged = list(merged_dir.glob("merged_coarse_*.ply"))
+    assert len(merged) == 5  # all + 4 experts
+    xm, _ = read_ply_points(merged_dir / "merged_coarse_all.ply")
+    assert 0 < xm.shape[0] <= xyz.shape[0]
