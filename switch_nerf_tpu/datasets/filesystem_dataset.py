@@ -131,6 +131,15 @@ class FilesystemDataset:
             m0.W, m0.H, m0.intrinsics[0], m0.intrinsics[1], m0.intrinsics[2],
             m0.intrinsics[3], self._center_pixels).reshape(-1, 3)
         c2ws = np.stack([m.c2w for m in self._metadata_items])
+
+        from switch_nerf_tpu.native import reconstruct_rays_native
+        out = reconstruct_rays_native(
+            directions, c2ws, pixel_indices.astype(np.int64),
+            image_indices.astype(np.int16), self._near, self._far,
+            self._ray_altitude_range)
+        if out is not None:
+            return out
+
         dirs = directions[pixel_indices]                             # [N, 3]
         c2w = c2ws[image_indices.astype(np.int64)]                   # [N,3,4]
         rays_d = np.einsum("nij,nj->ni", c2w[:, :, :3], dirs)
@@ -149,13 +158,16 @@ class FilesystemDataset:
         return {k: v[idx] for k, v in self._loaded.items()}
 
     def sample_batches(self, batch_size: int, drop_last: bool = True):
-        """Iterate shuffled batches of the loaded chunk."""
+        """Iterate shuffled batches of the loaded chunk (threaded row
+        gathers via the native lib when available)."""
+        from switch_nerf_tpu.native import gather_rows
         n = len(self)
         order = self._rng.permutation(n)
         stop = n - (n % batch_size) if drop_last else n
         for i in range(0, stop, batch_size):
             idx = order[i:i + batch_size]
-            yield {k: v[idx] for k, v in self._loaded.items()}
+            yield {k: gather_rows(v, idx) if v.ndim == 2 else v[idx]
+                   for k, v in self._loaded.items()}
 
     # ----------------------------------------------------------- writing --
     def _manifest(self, metadata_items, num_chunks, scale_factor) -> Dict:
@@ -228,12 +240,12 @@ class FilesystemDataset:
                 cols = {"rgbs": rgbs, "image_indices": img_indices,
                         "pixel_indices": pix}
             else:
-                directions = get_ray_directions(
-                    item.W, item.H, item.intrinsics[0], item.intrinsics[1],
-                    item.intrinsics[2], item.intrinsics[3],
-                    self._center_pixels)
-                rays = get_rays(directions, item.c2w, self._near, self._far,
-                                self._ray_altitude_range).reshape(-1, 8)
+                from switch_nerf_tpu.datasets.ray_utils import \
+                    compute_image_rays
+                rays = compute_image_rays(
+                    item.c2w, item.W, item.H, item.intrinsics,
+                    self._center_pixels, self._near, self._far,
+                    self._ray_altitude_range)
                 if keep_mask is not None:
                     rays = rays[keep_mask]
                 cols = {"rgbs": rgbs, "image_indices": img_indices,

@@ -25,11 +25,10 @@ class MemoryDataset:
             if image_data is None:
                 continue
             image_rgbs, image_indices, keep_mask = image_data
-            directions = get_ray_directions(
-                item.W, item.H, item.intrinsics[0], item.intrinsics[1],
-                item.intrinsics[2], item.intrinsics[3], center_pixels)
-            image_rays = get_rays(directions, item.c2w, near, far,
-                                  ray_altitude_range).reshape(-1, 8)
+            from switch_nerf_tpu.datasets.ray_utils import compute_image_rays
+            image_rays = compute_image_rays(
+                item.c2w, item.W, item.H, item.intrinsics, center_pixels,
+                near, far, ray_altitude_range)
             if keep_mask is not None:
                 image_rays = image_rays[keep_mask]
             rgbs.append(image_rgbs.astype(np.float32) / 255.0)

@@ -74,6 +74,25 @@ def get_rays(directions: np.ndarray, c2w: np.ndarray, near: float, far: float,
     return _get_rays_inner(rays_o, rays_d, near, far, ray_altitude_range)
 
 
+def compute_image_rays(c2w: np.ndarray, w: int, h: int,
+                       intrinsics: np.ndarray, center_pixels: bool,
+                       near: float, far: float,
+                       ray_altitude_range: Optional[Sequence[float]] = None
+                       ) -> np.ndarray:
+    """Whole-image rays [H*W, 8] — native multithreaded C++ kernel when
+    available (switch_nerf_tpu/native), numpy fallback (same numerics)."""
+    from switch_nerf_tpu.native import compute_rays_native
+    out = compute_rays_native(c2w, w, h, intrinsics, center_pixels, near,
+                              far, ray_altitude_range)
+    if out is not None:
+        return out
+    directions = get_ray_directions(w, h, intrinsics[0], intrinsics[1],
+                                    intrinsics[2], intrinsics[3],
+                                    center_pixels)
+    return get_rays(directions, np.asarray(c2w, np.float32), near, far,
+                    ray_altitude_range).reshape(-1, 8)
+
+
 def get_rays_batch(directions: np.ndarray, c2w: np.ndarray, near: float,
                    far: float,
                    ray_altitude_range: Optional[Sequence[float]] = None

@@ -46,6 +46,7 @@ class RenderConfig:
     use_sigma_noise: bool = False
     sigma_noise_std: float = 1.0
     use_mip: bool = False
+    sh_deg: Optional[int] = None               # spherical-harmonics color
     rgb_padding: Optional[float] = None        # mip only
     weights_resample_padding: float = 0.01     # mip only
     stop_level_grad: bool = True               # mip only
@@ -154,8 +155,19 @@ def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
     pts = _build_points(xyz, rays_d, image_indices, cfg.pos_dir_dim)
     out, moe_loss = run_model_chunked(model_fn, pts, cfg, rng, train)
     out = out.reshape(n, s, -1)
-    rgbs = out[..., :3]
-    sigmas = out[..., 3]
+    if cfg.sh_deg is not None:
+        # model emits SH coefficients; evaluate per view direction and
+        # sigmoid (reference rendering.py:344-349)
+        from switch_nerf_tpu.ops.encoding import eval_sh
+        deg = cfg.sh_deg
+        rgb_dim = 3 * (deg + 1) ** 2
+        coeffs = out[..., :rgb_dim].reshape(n, s, 3, (deg + 1) ** 2)
+        dirs = jnp.broadcast_to(rays_d, (n, s, 3))
+        rgbs = jax.nn.sigmoid(eval_sh(deg, coeffs, dirs))
+        sigmas = out[..., rgb_dim]
+    else:
+        rgbs = out[..., :3]
+        sigmas = out[..., 3]
     return rgbs, sigmas, z_vals, depth_real, moe_loss
 
 

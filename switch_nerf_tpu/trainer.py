@@ -89,6 +89,7 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
         use_sigma_noise=hparams.use_sigma_noise,
         sigma_noise_std=hparams.sigma_noise_std,
         use_mip=hparams.use_mip,
+        sh_deg=hparams.sh_deg,
         rgb_padding=hparams.rgb_padding if hparams.use_mip else None,
         weights_resample_padding=hparams.weights_resample_padding,
         stop_level_grad=hparams.stop_level_grad,
