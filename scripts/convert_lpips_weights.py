@@ -1,0 +1,52 @@
+"""One-time converter: lpips-package pretrained weights -> .npz for
+switch_nerf_tpu.lpips_jax.
+
+Run wherever `pip install lpips torchvision` works (NOT required on the TPU
+host). Produces a single npz with HWIO conv kernels + learned lin weights
+for vgg/alex/squeeze. Then on the TPU host:
+
+    export SWITCH_NERF_LPIPS_WEIGHTS=/path/to/lpips_weights.npz
+"""
+import argparse
+
+import numpy as np
+
+
+def _export_net(lpips_model, net_name, out):
+    import torch
+
+    convs = [m for m in lpips_model.net.modules()
+             if isinstance(m, torch.nn.Conv2d)]
+    for i, conv in enumerate(convs):
+        # torch OIHW -> HWIO
+        k = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+        out[f"{net_name}/conv{i}/kernel"] = k.astype(np.float32)
+        bias = (conv.bias.detach().numpy() if conv.bias is not None
+                else np.zeros(k.shape[-1], np.float32))
+        out[f"{net_name}/conv{i}/bias"] = bias.astype(np.float32)
+    for i, lin in enumerate(lpips_model.lins):
+        k = lin.model[-1].weight.detach().numpy().transpose(2, 3, 1, 0)
+        out[f"{net_name}/lin{i}/kernel"] = k.astype(np.float32)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="lpips_weights.npz")
+    p.add_argument("--nets", type=str, nargs="+",
+                   default=["vgg", "alex", "squeeze"])
+    args = p.parse_args()
+
+    import lpips
+
+    out = {}
+    for net in args.nets:
+        model = lpips.LPIPS(net=net).eval()
+        _export_net(model, net, out)
+        print(f"exported {net}: "
+              f"{sum(1 for k in out if k.startswith(net))} tensors")
+    np.savez(args.out, **out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""LPIPS perceptual metric in pure JAX (VGG16 / AlexNet / SqueezeNet-1.1).
+
+Parity target: switch_nerf/metrics.py:13-27 (lpips package with pretrained
+backbones + learned linear calibration, normalize=True protocol).
+
+Pretrained weights cannot be downloaded in an offline TPU environment, so
+the backbones are reimplemented here and parameterised by a .npz produced
+once (wherever torchvision + lpips are installed) by
+scripts/convert_lpips_weights.py. Point SWITCH_NERF_LPIPS_WEIGHTS at it.
+
+npz layout (keys):
+    <net>/conv<i>/kernel   [kh, kw, cin, cout]   (HWIO)
+    <net>/conv<i>/bias     [cout]
+    <net>/lin<i>/kernel    [1, 1, c, 1]          (learned LPIPS weights)
+with <net> in {vgg, alex, squeeze}. Scaling layer constants are built in
+(the standard ImageNet shift/scale used by the lpips package).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# lpips package scaling layer (inputs in [-1, 1])
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# conv configs: (out_channels, kernel, stride, padding); 'M' = maxpool
+_VGG16 = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+          512, 512, 512, "M", 512, 512, 512]
+_VGG_TAPS = (1, 3, 6, 9, 12)          # conv index after which to tap (0-based
+# conv counter: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)
+
+_ALEX = [(64, 11, 4, 2), "M", (192, 5, 1, 2), "M", (384, 3, 1, 1),
+         (256, 3, 1, 1), (256, 3, 1, 1)]
+_ALEX_TAPS = (0, 1, 2, 3, 4)
+
+# squeezenet 1.1: conv0 then fire modules (squeeze, expand1x1, expand3x3)
+_SQUEEZE_FIRES = [(16, 64, 64), (16, 64, 64), (32, 128, 128),
+                  (32, 128, 128), (48, 192, 192), (48, 192, 192),
+                  (64, 256, 256), (64, 256, 256)]
+_SQUEEZE_POOL_BEFORE = {0, 2, 4}       # maxpool before fires 0, 2, 4
+_SQUEEZE_TAPS = (0, 1, 3, 5, 7, 8, 9)  # lpips taps 7 feature levels
+
+
+def _conv(x, kernel, bias, stride=1, padding=0):
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias[None, None, None, :]
+
+
+def _maxpool(x, k=3, s=2):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID")
+
+
+def _vgg_features(x, w) -> List[jnp.ndarray]:
+    feats = []
+    ci = 0
+    for cfg in _VGG16:
+        if cfg == "M":
+            x = _maxpool(x, 2, 2)
+            continue
+        x = jax.nn.relu(_conv(x, w[f"conv{ci}/kernel"], w[f"conv{ci}/bias"],
+                              1, 1))
+        if ci in _VGG_TAPS:
+            feats.append(x)
+        ci += 1
+    return feats
+
+
+def _alex_features(x, w) -> List[jnp.ndarray]:
+    feats = []
+    ci = 0
+    for cfg in _ALEX:
+        if cfg == "M":
+            x = _maxpool(x, 3, 2)
+            continue
+        c, k, s, p = cfg
+        x = jax.nn.relu(_conv(x, w[f"conv{ci}/kernel"], w[f"conv{ci}/bias"],
+                              s, p))
+        if ci in _ALEX_TAPS:
+            feats.append(x)
+        ci += 1
+    return feats
+
+
+def _squeeze_features(x, w) -> List[jnp.ndarray]:
+    feats = []
+    level = 0
+    x = jax.nn.relu(_conv(x, w["conv0/kernel"], w["conv0/bias"], 2, 0))
+    if level in _SQUEEZE_TAPS:
+        feats.append(x)
+    level += 1
+    ci = 1
+    for fi, (sq, e1, e3) in enumerate(_SQUEEZE_FIRES):
+        if fi in _SQUEEZE_POOL_BEFORE:
+            x = _maxpool(x, 3, 2)
+        s = jax.nn.relu(_conv(x, w[f"conv{ci}/kernel"], w[f"conv{ci}/bias"]))
+        a = jax.nn.relu(_conv(s, w[f"conv{ci+1}/kernel"],
+                              w[f"conv{ci+1}/bias"]))
+        b = jax.nn.relu(_conv(s, w[f"conv{ci+2}/kernel"],
+                              w[f"conv{ci+2}/bias"], 1, 1))
+        x = jnp.concatenate([a, b], axis=-1)
+        ci += 3
+        if level in _SQUEEZE_TAPS:
+            feats.append(x)
+        level += 1
+    return feats
+
+
+_EXTRACTORS = {"vgg": _vgg_features, "alex": _alex_features,
+               "squeeze": _squeeze_features}
+
+
+def _unit_normalize(f):
+    return f / jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-10)
+
+
+def lpips_distance(img0: jnp.ndarray, img1: jnp.ndarray, net: str,
+                   weights: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """img0/img1: [H, W, 3] in [-1, 1]. Returns scalar LPIPS distance."""
+    def prep(img):
+        x = (img.astype(jnp.float32) - _SHIFT) / _SCALE
+        return x[None]                             # NHWC
+    f0 = _EXTRACTORS[net](prep(img0), weights)
+    f1 = _EXTRACTORS[net](prep(img1), weights)
+    total = 0.0
+    for li, (a, b) in enumerate(zip(f0, f1)):
+        d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+        lin = weights[f"lin{li}/kernel"].reshape(1, 1, -1, 1)
+        val = jax.lax.conv_general_dilated(
+            d, lin, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        total = total + jnp.mean(val)
+    return total
+
+
+@functools.lru_cache(maxsize=4)
+def _load_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    data = np.load(path)
+    nets: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in data.files:
+        net, rest = key.split("/", 1)
+        nets.setdefault(net, {})[rest] = data[key]
+    return nets
+
+
+def lpips_all(img0: np.ndarray, img1: np.ndarray, weights_path: str
+              ) -> Dict[str, float]:
+    """img0/img1 in [-1, 1]; returns {vgg, alex, squeeze} distances (None
+    for nets missing from the weights file)."""
+    nets = _load_weights(weights_path)
+    out = {}
+    for net in ("vgg", "alex", "squeeze"):
+        if net not in nets:
+            out[net] = None
+            continue
+        w = {k: jnp.asarray(v) for k, v in nets[net].items()}
+        out[net] = float(lpips_distance(jnp.asarray(img0),
+                                        jnp.asarray(img1), net, w))
+    return out

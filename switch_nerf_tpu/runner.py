@@ -76,11 +76,14 @@ class Runner:
 
     # ------------------------------------------------------------ init ---
     def _setup_dirs(self, set_experiment_path: bool):
+        self.writer = None
         if set_experiment_path:
             self.experiment_path = self._get_experiment_path()
             self.model_path = self.experiment_path / "models"
             self.model_path.mkdir(parents=True, exist_ok=True)
             self.logger = setup_logger(None, self.experiment_path)
+            from switch_nerf_tpu.utils.tb import SummaryWriter
+            self.writer = SummaryWriter(self.experiment_path / "tb")
             (self.experiment_path / "hparams.txt").write_text(
                 str(vars(self.hparams)))
             (self.experiment_path / "command.txt").write_text(
@@ -366,6 +369,13 @@ class Runner:
                              + " ".join(f"{k}={v:.4f}"
                                         for k, v in m_host.items())
                              + (f" rays/s={rate:.0f}" if rate else ""))
+                    if self.writer is not None:
+                        for k, v in m_host.items():
+                            self.writer.add_scalar(f"train/{k}", v,
+                                                   train_iterations)
+                        if rate:
+                            self.writer.add_scalar("train/rays_per_sec",
+                                                   rate, train_iterations)
                     t_start = time.time()
 
                 if self.model_path is not None and \
