@@ -1,0 +1,15 @@
+"""Block-NeRF Mission Bay eval: masked/unmasked PSNR/SSIM over val
+tfrecords. Parity target: switch_nerf/eval_image_blocknerf.py."""
+from switch_nerf_tpu.config import get_opts, parse_args
+from switch_nerf_tpu.runner import Runner
+
+
+def main(hparams=None) -> None:
+    if hparams is None:
+        hparams = parse_args(get_opts())
+    assert hparams.data_type == "block_nerf"
+    Runner(hparams).eval_image_blocknerf()
+
+
+if __name__ == "__main__":
+    main()
