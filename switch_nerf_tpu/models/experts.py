@@ -90,3 +90,47 @@ class ExpertMLP(nn.Module):
             h = h + b[row_expert]
             h, xin = self._skip_act(layer_id, h, xin)
         return h
+
+
+class FusedFFNExperts(nn.Module):
+    """Tutel-style 2-layer fused FFN experts (moe_expert_type='ffn').
+
+    Parity target: FusedExpertsNetwork,
+    tutel_moe_layer_nobatch.py:513-642 — per-expert fc1 [M, H] -> act ->
+    fc2 [H, M] as stacked batched einsums. (The reference's ZeRO
+    weight-sharding hooks for num_experts < num_devices are intentionally
+    absent: shard the hidden dim via the mesh if ever needed.)
+    """
+    model_dim: int
+    num_experts: int
+    hidden_size: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        m, h, e = self.model_dim, self.hidden_size, self.num_experts
+        kinit = torch_linear_kernel_init()
+        self.w1 = self.param("w1", kinit, (e, m, h), self.param_dtype)
+        self.b1 = self.param("b1", torch_linear_bias_init(m),
+                             (e, 1, h), self.param_dtype)
+        self.w2 = self.param("w2", kinit, (e, h, m), self.param_dtype)
+        self.b2 = self.param("b2", torch_linear_bias_init(h),
+                             (e, 1, m), self.param_dtype)
+
+    def __call__(self, x):
+        """x [E, C, M] -> [E, C, M]."""
+        h = jnp.einsum("ecm,emh->ech", x, self.w1.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = nn.relu(h + self.b1.astype(x.dtype))
+        y = jnp.einsum("ech,ehm->ecm", h, self.w2.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + self.b2.astype(x.dtype)
+
+    def ragged(self, x, group_sizes, row_expert):
+        h = jax.lax.ragged_dot(
+            x, self.w1.astype(x.dtype), group_sizes,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        h = nn.relu(h + self.b1[:, 0, :].astype(x.dtype)[row_expert])
+        y = jax.lax.ragged_dot(
+            h, self.w2.astype(x.dtype), group_sizes,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + self.b2[:, 0, :].astype(x.dtype)[row_expert]

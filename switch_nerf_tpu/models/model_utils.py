@@ -72,6 +72,7 @@ def get_nerf_moe_inner(hparams, appearance_count: int, xyz_dim: int = 3,
         moe_return_gate_logits=hparams.moe_return_gate_logits,
         train_dispatch="padded" if hparams.moe_train_batch else "nodrop",
         eval_dispatch="padded" if hparams.moe_test_batch else "nodrop",
+        moe_expert_type=getattr(hparams, "moe_expert_type", "expertmlp"),
         sigma_fp32=not getattr(hparams, "amp_use_bfloat16", False),
         compute_dtype=_compute_dtype(hparams),
         shard_experts_spmd=expert_parallel,

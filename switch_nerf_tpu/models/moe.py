@@ -58,6 +58,8 @@ class MoELayer(nn.Module):
     return_gate_logits: bool = False
     train_dispatch: str = "padded"           # "padded" | "nodrop"
     eval_dispatch: str = "padded"
+    expert_type: str = "expertmlp"           # "expertmlp" | "ffn"
+    ffn_hidden_size: int = 0                 # ffn expert hidden width
     param_dtype: jnp.dtype = jnp.float32
     # expert parallelism
     expert_axis: Optional[str] = None        # manual shard_map all_to_all path
@@ -114,10 +116,17 @@ class MoELayer(nn.Module):
                                            self.batch_prioritized_routing)
 
         mode = self.eval_dispatch if deterministic else self.train_dispatch
-        experts = ExpertMLP(model_dim=m, num_experts=e // self.ep_size,
-                            layer_num=self.layer_num, skips=self.skips,
-                            init_factor=self.init_factor,
-                            param_dtype=self.param_dtype, name="experts")
+        if self.expert_type == "ffn":
+            from switch_nerf_tpu.models.experts import FusedFFNExperts
+            experts = FusedFFNExperts(
+                model_dim=m, num_experts=e // self.ep_size,
+                hidden_size=self.ffn_hidden_size or m,
+                param_dtype=self.param_dtype, name="experts")
+        else:
+            experts = ExpertMLP(model_dim=m, num_experts=e // self.ep_size,
+                                layer_num=self.layer_num, skips=self.skips,
+                                init_factor=self.init_factor,
+                                param_dtype=self.param_dtype, name="experts")
 
         if mode == "nodrop":
             y = self._nodrop_path(x, plan, experts)

@@ -52,6 +52,7 @@ class NeRFMoE(nn.Module):
     moe_return_gate_logits: bool = False
     train_dispatch: str = "padded"
     eval_dispatch: str = "padded"
+    moe_expert_type: str = "expertmlp"
     sigma_fp32: bool = True                  # False under bf16 AMP (amp_use_bfloat16)
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -94,6 +95,8 @@ class NeRFMoE(nn.Module):
                 return_gate_logits=self.moe_return_gate_logits,
                 train_dispatch=self.train_dispatch,
                 eval_dispatch=self.eval_dispatch,
+                expert_type=self.moe_expert_type,
+                ffn_hidden_size=cfg.get("h_ch", 0),
                 param_dtype=self.param_dtype,
                 expert_axis=self.expert_axis,
                 ep_size=self.ep_size,
