@@ -221,10 +221,12 @@ def get_opts_nerf() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(parents=[base], conflict_handler="resolve")
     p.add_argument("--dataset_type", type=str, default="filesystem",
                    choices=["filesystem", "memory", "blender", "llff",
-                            "bungee"])
+                            "bungee", "LINEMOD", "deepvoxels"])
     p.add_argument("--exp_name", type=str, required=True)
     p.add_argument("--dataset_path", type=str, required=True)
     p.add_argument("--grid_id", type=int, default=None)
+    p.add_argument("--shape", type=str, default="cube",
+                   help="deepvoxels scene name")
     p.add_argument("--scale_factor", type=int, default=1,
                    help="downsamples all images if greater than 1")
     p.add_argument("--llff_factor", type=int, default=1)
@@ -308,4 +310,5 @@ def get_nerf_dataset_args(hparams):
     args.white_bkgd = hparams.white_bkgd
     args.scale_factor = hparams.scale_factor
     args.bungee_ray_nearfar = hparams.bungee_ray_nearfar
+    args.shape = getattr(hparams, "shape", "cube")
     return args

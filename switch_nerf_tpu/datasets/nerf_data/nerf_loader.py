@@ -62,6 +62,32 @@ class NeRFDataset:
             else:
                 images = images[..., :3]
 
+        elif args.dataset_type == "LINEMOD":
+            from switch_nerf_tpu.datasets.nerf_data.load_LINEMOD import \
+                load_LINEMOD_data
+            (images, poses, render_poses, hwf, k, i_split, near,
+             far) = load_LINEMOD_data(args.datadir, args.half_res,
+                                      args.testskip)
+            self.K = np.asarray(k, np.float32)
+            i_train, i_val, i_test = i_split
+            if args.white_bkgd:
+                images = (images[..., :3] * images[..., -1:]
+                          + (1.0 - images[..., -1:]))
+            else:
+                images = images[..., :3]
+
+        elif args.dataset_type == "deepvoxels":
+            from switch_nerf_tpu.datasets.nerf_data.load_deepvoxels import \
+                load_dv_data
+            images, poses, render_poses, hwf, i_split = load_dv_data(
+                scene=getattr(args, "shape", "cube"), basedir=args.datadir,
+                testskip=args.testskip)
+            i_train, i_val, i_test = i_split
+            hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1],
+                                                  axis=-1)))
+            near, far = hemi_r - 1.0, hemi_r + 1.0
+            poses = poses[:, :3, :4]
+
         elif args.dataset_type == "bungee":
             (images, poses, scene_scaling_factor, scene_origin,
              scale_split) = load_bungee_multiscale_data(args.datadir,
@@ -88,9 +114,10 @@ class NeRFDataset:
 
         h, w, focal = hwf
         h, w = int(h), int(w)
-        self.K = np.array([[focal, 0, 0.5 * w],
-                           [0, focal, 0.5 * h],
-                           [0, 0, 1]], np.float32)
+        if self.K is None:
+            self.K = np.array([[focal, 0, 0.5 * w],
+                               [0, focal, 0.5 * h],
+                               [0, 0, 1]], np.float32)
         self.H, self.W = h, w
         self.hwf = [h, w, focal]
 

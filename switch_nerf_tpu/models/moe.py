@@ -79,6 +79,12 @@ class MoELayer(nn.Module):
         e = self.num_experts
         assert m == self.model_dim
 
+        # debug escape hatch (reference env toggles SKIP_MOE / SKIP_EXPERT,
+        # tutel_moe_layer_nobatch.py:78-96): bypass the MoE entirely
+        import os
+        if os.environ.get("SKIP_MOE"):
+            return x, jnp.zeros((), jnp.float32), {}
+
         # ---- gate (fp32) -------------------------------------------------
         gin = gate_input if gate_input is not None else x
         gdtype = jnp.float32 if self.fp32_gate else x.dtype

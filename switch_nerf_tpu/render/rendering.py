@@ -51,7 +51,11 @@ class RenderConfig:
     weights_resample_padding: float = 0.01     # mip only
     stop_level_grad: bool = True               # mip only
     return_gates: bool = False
-    return_pts: bool = False
+    return_pts: bool = False                   # per-sample xyz (coarse)
+    return_pts_rgb: bool = False               # per-sample rgb (coarse)
+    return_pts_alpha: bool = False             # per-sample alpha (coarse)
+    return_sigma: bool = False                 # raw sigma (coarse)
+    return_alpha: bool = False
     remat_chunks: bool = True
 
 
@@ -261,6 +265,25 @@ def render_rays(model_fn: ModelFn,
         model_fn, xyz_coarse, z_vals, rays_d3, image_indices, last_delta,
         cfg, r_model_c, train, flip=False, depth_real=None)
     results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
+
+    # per-sample introspection outputs (reference --return_pts /
+    # --return_pts_rgb / --return_pts_alpha / --return_sigma /
+    # --return_alpha, rendering.py:392-431)
+    if cfg.return_pts:
+        results["pts_coarse"] = xyz_coarse
+    if cfg.return_pts_rgb:
+        results["pts_rgb_coarse"] = rgbs_c
+    if cfg.return_sigma:
+        results["sigma_coarse"] = sigmas_c
+    if cfg.return_pts_alpha or cfg.return_alpha:
+        deltas_c = jnp.concatenate(
+            [zv_c[..., 1:] - zv_c[..., :-1],
+             _adjust_last_delta(last_delta, zv_c)], axis=-1)
+        alphas_c = 1.0 - jnp.exp(-deltas_c * sigmas_c)
+        if cfg.return_pts_alpha:
+            results["pts_alpha_coarse"] = alphas_c
+        if cfg.return_alpha:
+            results["alpha_coarse"] = alphas_c
 
     fine_total = cfg.fine_samples
     if fine_total > 0:

@@ -93,6 +93,11 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
         rgb_padding=hparams.rgb_padding if hparams.use_mip else None,
         weights_resample_padding=hparams.weights_resample_padding,
         stop_level_grad=hparams.stop_level_grad,
+        return_pts=getattr(hparams, "return_pts", False),
+        return_pts_rgb=getattr(hparams, "return_pts_rgb", False),
+        return_pts_alpha=getattr(hparams, "return_pts_alpha", False),
+        return_sigma=getattr(hparams, "return_sigma", False),
+        return_alpha=getattr(hparams, "return_alpha", False),
         remat_chunks=getattr(hparams, "remat", True),
     )
 
