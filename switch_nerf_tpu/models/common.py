@@ -73,6 +73,31 @@ ACTIVATIONS = {
 }
 
 
+class OneHotEmbed(nn.Module):
+    """nn.Embed drop-in whose backward is a matmul instead of a scatter-add.
+
+    TPU scatter-adds into small tables are slow (profiled at ~7 ms/step for
+    the appearance table); `one_hot(idx) @ table` runs forward AND backward
+    on the MXU. Parameter name/shape match nn.Embed ("embedding",
+    [num, features]) so checkpoints are interchangeable. Falls back to a
+    plain gather forward (XLA Embed-style) above `matmul_threshold` rows.
+    """
+    num_embeddings: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+    matmul_threshold: int = 4096
+
+    @nn.compact
+    def __call__(self, idx):
+        emb = self.param(
+            "embedding", nn.initializers.normal(stddev=1.0),
+            (self.num_embeddings, self.features), self.param_dtype)
+        if self.num_embeddings > self.matmul_threshold:
+            return jnp.take(emb, idx, axis=0)
+        oh = jax.nn.one_hot(idx, self.num_embeddings, dtype=emb.dtype)
+        return oh @ emb
+
+
 def apply_act(name: str, x):
     try:
         return ACTIVATIONS[name](x)

@@ -16,7 +16,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from switch_nerf_tpu.models.common import TorchLinear
+from switch_nerf_tpu.models.common import TorchLinear, OneHotEmbed
 from switch_nerf_tpu.ops.encoding import freq_encode, shifted_softplus
 
 
@@ -71,7 +71,7 @@ class NeRF(nn.Module):
                 parts.append(freq_encode(
                     x[:, xd:xd + 3].astype(self.compute_dtype), self.pos_dir_dim))
             if has_app and not self.affine_appearance:
-                emb = nn.Embed(self.appearance_count, self.appearance_dim,
+                emb = OneHotEmbed(self.appearance_count, self.appearance_dim,
                                param_dtype=self.param_dtype, name="embedding_a")
                 parts.append(emb(x[:, -1].astype(jnp.int32)).astype(self.compute_dtype))
             h2 = jnp.concatenate(parts, axis=-1)
@@ -82,7 +82,7 @@ class NeRF(nn.Module):
             rgb = TorchLinear(self.rgb_dim, param_dtype=self.param_dtype, name="rgb")(h)
 
         if self.affine_appearance and has_app:
-            emb = nn.Embed(self.appearance_count, self.appearance_dim,
+            emb = OneHotEmbed(self.appearance_count, self.appearance_dim,
                            param_dtype=self.param_dtype, name="embedding_a")
             a = emb(x[:, -1].astype(jnp.int32)).astype(self.compute_dtype)
             affine = TorchLinear(12, param_dtype=self.param_dtype, name="affine")(a)

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from switch_nerf_tpu.models.common import TorchLinear, apply_act
+from switch_nerf_tpu.models.common import TorchLinear, apply_act, OneHotEmbed
 from switch_nerf_tpu.models.mlp import Mlp, NormMlp
 from switch_nerf_tpu.models.moe import MoELayer
 from switch_nerf_tpu.ops.encoding import freq_encode, mip_encode, shifted_softplus
@@ -182,7 +182,7 @@ class NeRFMoE(nn.Module):
                 parts.append(freq_encode(
                     x[:, xd:xd + 3].astype(self.compute_dtype), self.pos_dir_dim))
                 if has_app and not self.affine_appearance:
-                    emb = nn.Embed(self.appearance_count, self.appearance_dim,
+                    emb = OneHotEmbed(self.appearance_count, self.appearance_dim,
                                    param_dtype=self.param_dtype, name="embedding_a")
                     parts.append(emb(x[:, -1].astype(jnp.int32))
                                  .astype(self.compute_dtype))
@@ -195,7 +195,7 @@ class NeRFMoE(nn.Module):
                           skips=cfgs["color"].get("skips"),
                           param_dtype=self.param_dtype, name="layer_color")(h)
                 if self.affine_appearance and has_app:
-                    emb = nn.Embed(self.appearance_count, self.appearance_dim,
+                    emb = OneHotEmbed(self.appearance_count, self.appearance_dim,
                                    param_dtype=self.param_dtype, name="embedding_a")
                     a = emb(x[:, -1].astype(jnp.int32)).astype(self.compute_dtype)
                     affine = TorchLinear(12, param_dtype=self.param_dtype,
