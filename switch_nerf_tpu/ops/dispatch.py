@@ -134,12 +134,17 @@ def _dispatch_p(tokens, gates, slot, kept, stt, filled, prescore):
 def _dispatch_fwd_impl(tokens, gates, stt, filled, prescore):
     kk, ec = stt.shape
     m = tokens.shape[-1]
-    gathered = tokens[stt.reshape(-1)].reshape(kk, ec, m)
     scale = filled.astype(tokens.dtype)
     if prescore:
-        gate_per_slot = jnp.take_along_axis(
-            gates.astype(tokens.dtype), stt, axis=1)                # [K, E*C]
-        scale = scale * gate_per_slot
+        # multiply the gate on the TOKEN side before gathering — avoids a
+        # separate per-slot gate gather (tiny dynamic gathers are slow)
+        out = None
+        for k in range(kk):
+            scaled = tokens * gates[k, :, None].astype(tokens.dtype)
+            g = scaled[stt[k]] * scale[k][:, None]
+            out = g if out is None else out + g
+        return out, None
+    gathered = tokens[stt.reshape(-1)].reshape(kk, ec, m)
     out = jnp.sum(gathered * scale[..., None], axis=0)              # [E*C, M]
     return out, gathered
 
@@ -197,15 +202,16 @@ def _combine_bwd(postscore, res, d_y):
     kk, ec = stt.shape
     m = d_y.shape[-1]
     # d_flat[slot] = d_y[token] * scale  ==  gather d_y by slot->token;
-    # gather in the (bf16) expert dtype to halve HBM traffic
+    # gather in the (bf16) expert dtype; gate multiply on the token side
+    # (avoids a per-slot gate gather)
     d_y_lo = d_y.astype(flat.dtype)
-    rows = d_y_lo[stt.reshape(-1)].reshape(kk, ec, m)               # [K,EC,M]
-    scale = filled.astype(flat.dtype)
-    if postscore:
-        gate_per_slot = jnp.take_along_axis(
-            gates.astype(flat.dtype), stt, axis=1)
-        scale = scale * gate_per_slot
-    d_flat = jnp.sum(rows * scale[..., None], axis=0)
+    d_flat = None
+    for k in range(kk):
+        src = d_y_lo
+        if postscore:
+            src = src * gates[k, :, None].astype(flat.dtype)
+        g = src[stt[k]] * filled[k][:, None].astype(flat.dtype)
+        d_flat = g if d_flat is None else d_flat + g
     if postscore:
         flat_ext = jnp.concatenate([flat, jnp.zeros((1, m), flat.dtype)], 0)
         sel = flat_ext[slot.reshape(-1)].reshape(*slot.shape, m)

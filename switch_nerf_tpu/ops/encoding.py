@@ -37,14 +37,16 @@ def freq_encode(x: jnp.ndarray, num_freqs: int, logscale: bool = True) -> jnp.nd
     """
     if num_freqs == 0:
         return x
+    d = x.shape[-1]
     bands = freq_bands(num_freqs, logscale).astype(x.dtype)  # [F]
-    # [..., F, D]
-    xb = x[..., None, :] * bands[:, None]
-    sin = jnp.sin(xb)
-    cos = jnp.cos(xb)
-    # interleave per frequency: [sin_f, cos_f] pairs, flattened over F
-    sc = jnp.stack([sin, cos], axis=-2)  # [..., F, 2, D]
-    sc = sc.reshape(*x.shape[:-1], 2 * num_freqs * x.shape[-1])
+    # compute transcendentals on a flat [..., F*D] layout (full lanes on the
+    # VPU; the [..., F, 1, D] form tiles terribly on TPU), then interleave
+    xb = (x[..., None, :] * bands[:, None]).reshape(
+        *x.shape[:-1], num_freqs * d)
+    sin = jnp.sin(xb).reshape(*x.shape[:-1], num_freqs, 1, d)
+    cos = jnp.cos(xb).reshape(*x.shape[:-1], num_freqs, 1, d)
+    sc = jnp.concatenate([sin, cos], axis=-2)   # [..., F, 2, D]
+    sc = sc.reshape(*x.shape[:-1], 2 * num_freqs * d)
     return jnp.concatenate([x, sc], axis=-1)
 
 
