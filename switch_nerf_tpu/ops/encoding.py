@@ -39,14 +39,14 @@ def freq_encode(x: jnp.ndarray, num_freqs: int, logscale: bool = True) -> jnp.nd
         return x
     d = x.shape[-1]
     bands = freq_bands(num_freqs, logscale).astype(x.dtype)  # [F]
-    # compute transcendentals on a flat [..., F*D] layout (full lanes on the
-    # VPU; the [..., F, 1, D] form tiles terribly on TPU), then interleave
-    xb = (x[..., None, :] * bands[:, None]).reshape(
-        *x.shape[:-1], num_freqs * d)
-    sin = jnp.sin(xb).reshape(*x.shape[:-1], num_freqs, 1, d)
-    cos = jnp.cos(xb).reshape(*x.shape[:-1], num_freqs, 1, d)
-    sc = jnp.concatenate([sin, cos], axis=-2)   # [..., F, 2, D]
-    sc = sc.reshape(*x.shape[:-1], 2 * num_freqs * d)
+    # ONE flat transcendental: cos(x) == sin(x + pi/2), so build the
+    # interleaved [sin_f, cos_f] angle matrix up front and take a single
+    # sin over [..., 2*F*D] — full VPU lanes (the naive [.., F, 1, 3]
+    # sin/cos pair tiles at 3/128 lane utilisation on TPU)
+    phase = jnp.array([0.0, 0.5 * jnp.pi], x.dtype)          # [2]
+    angles = (x[..., None, None, :] * bands[:, None, None]
+              + phase[:, None])                              # [.., F, 2, D]
+    sc = jnp.sin(angles.reshape(*x.shape[:-1], 2 * num_freqs * d))
     return jnp.concatenate([x, sc], axis=-1)
 
 
@@ -72,12 +72,14 @@ def mip_encode(mean_cov: jnp.ndarray, num_freqs: int, logscale: bool = True,
         fw = jnp.linspace(1.0, 4.0 ** (num_freqs - 1), num_freqs)
     fy = fy.astype(mean.dtype)
     fw = fw.astype(mean.dtype)
-    xb = mean[..., None, :] * fy[:, None]                      # [..., F, D]
-    atten = jnp.exp(-0.5 * var[..., None, :] * fw[:, None])    # [..., F, D]
-    sin = jnp.sin(xb) * atten
-    cos = jnp.cos(xb) * atten
-    sc = jnp.stack([sin, cos], axis=-2)                        # [..., F, 2, D]
-    sc = sc.reshape(*mean.shape[:-1], 2 * num_freqs * d)
+    # single flat transcendental (cos(x) == sin(x + pi/2); see freq_encode)
+    phase = jnp.array([0.0, 0.5 * jnp.pi], mean.dtype)
+    angles = (mean[..., None, None, :] * fy[:, None, None]
+              + phase[:, None])                                # [.., F, 2, D]
+    atten = jnp.exp(-0.5 * var[..., None, None, :] * fw[:, None, None])
+    flat = (*mean.shape[:-1], 2 * num_freqs * d)
+    sc = jnp.sin(angles.reshape(flat)) * \
+        jnp.broadcast_to(atten, angles.shape).reshape(flat)
     return jnp.concatenate([mean, sc], axis=-1)
 
 
