@@ -1,0 +1,24 @@
+"""Gigapixel image loader (2-D image fitting scenes).
+
+Parity target: switch_nerf/datasets/nerf_data/load_gigapixel.py (16 LoC):
+a single large image whose pixels are the supervision targets.
+"""
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+Image.MAX_IMAGE_PIXELS = None
+
+
+def load_gigapixel_data(path, scale_factor: int = 1):
+    img = Image.open(path).convert("RGB")
+    if scale_factor > 1:
+        img = img.resize((img.width // scale_factor,
+                          img.height // scale_factor), Image.LANCZOS)
+    arr = np.asarray(img, np.float32) / 255.0
+    h, w = arr.shape[:2]
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    coords = np.stack([(xs + 0.5) / w * 2 - 1, (ys + 0.5) / h * 2 - 1], -1)
+    return arr, coords.astype(np.float32)
