@@ -1,0 +1,65 @@
+"""Import helpers for cross-framework parity tests against the reference
+implementation mounted read-only at /root/reference (PyTorch).
+
+The reference hard-imports Microsoft Tutel (CUDA/NCCL) and timm at module
+scope; these stubs satisfy the imports so the PURE-TORCH code paths
+(`apply_on_expert_fn_nobatch_torch`, ExpertMLP.baddbmm forward, dense NeRF)
+can execute on CPU for numerics comparison. Nothing stubbed is ever called
+in those paths.
+"""
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return (REFERENCE / "switch_nerf").exists()
+
+
+def install_stubs():
+    import torch
+    import torch.nn.init as I
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    def torch_cumsum_sub_one(x, dim=0):
+        return torch.cumsum(x, dim=dim) - 1
+
+    class _AnySparse(types.ModuleType):
+        def __getattr__(self, name):
+            def _missing(*a, **k):
+                raise RuntimeError(f"tutel stub {name} must not be called")
+            return _missing
+
+    mod("timm")
+    mod("timm.models")
+    mod("timm.models.layers",
+        trunc_normal_=lambda t, std=1.0: I.trunc_normal_(t, std=std))
+    mod("tutel")
+    mod("tutel.impls")
+    mod("tutel.impls.jit_compiler", IS_HIP_EXTENSION=False, JitCompiler=object,
+        tutel_custom_kernel=None)
+    mod("tutel.jit_kernels")
+    mod("tutel.jit_kernels.gating",
+        fast_cumsum_sub_one=torch_cumsum_sub_one,
+        torch_cumsum_sub_one=torch_cumsum_sub_one)
+    sys.modules.setdefault("tutel.jit_kernels.sparse",
+                           _AnySparse("tutel.jit_kernels.sparse"))
+    mod("tutel.impls.communicate",
+        simple_all_reduce=lambda x, *a, **k: x,
+        all_to_all_single=None, all_to_all=None, zero_gather=None,
+        zero_scatter=None, AllToAllStatus=None, CurrentStreamRelease=None,
+        CurrentStreamAcquire=None, TUTEL_GROUPING_CACHE={},
+        barrier=lambda *a, **k: None,
+        get_world_size=lambda *a, **k: 1, get_world_rank=lambda *a, **k: 0)
+    mod("tutel.net")
+    mod("tutel.impls.overlap", a2a_ffn_overlap_forward=None)
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
