@@ -25,7 +25,7 @@ def sort_with_payloads(keys: jnp.ndarray, *payloads: jnp.ndarray):
     Returns (sorted_keys, *sorted_payloads). All operands share keys' shape.
     """
     out = jax.lax.sort((keys,) + payloads, dimension=-1, num_keys=1,
-                       is_stable=False)
+                       is_stable=True)
     return tuple(out)
 
 
@@ -34,7 +34,7 @@ def _fwd(keys, *payloads):
     iota = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32), keys.shape)
     out = jax.lax.sort((keys, iota) + payloads, dimension=-1, num_keys=1,
-                       is_stable=False)
+                       is_stable=True)
     perm = out[1]
     return (out[0],) + tuple(out[2:]), perm
 
@@ -43,7 +43,7 @@ def _bwd(perm, cots):
     # un-permute every cotangent with one multi-operand sort keyed by the
     # forward permutation (ascending perm == original input order)
     out = jax.lax.sort((perm,) + tuple(cots), dimension=-1, num_keys=1,
-                       is_stable=False)
+                       is_stable=True)
     return tuple(out[1:])
 
 

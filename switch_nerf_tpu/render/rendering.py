@@ -322,8 +322,12 @@ def render_rays(model_fn: ModelFn,
         else:
             z_all, rgb_all, sig_all = zv_f, rgbs_f, sigmas_f
 
+        # reference quirk kept for parity: the fine last-delta adjustment
+        # subtracts max(FINE z) only (rendering.py:249-250), even though the
+        # composite runs on the merged coarse+fine array whose max is the
+        # coarse far bound
         vr_f = _composite(rgb_all, sig_all, z_all,
-                          _adjust_last_delta(last_delta, z_all), cfg,
+                          _adjust_last_delta(last_delta, fine_z), cfg,
                           flip=False, get_depth=get_depth or has_bg,
                           get_depth_variance=get_depth_variance,
                           bkgd_rng=r_bkgd if train else None)
