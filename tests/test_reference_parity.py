@@ -339,3 +339,152 @@ def test_render_rays_parity():
     if fg_only.any():
         np.testing.assert_allclose(got_depth[fg_only], want_depth[fg_only],
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_render_rays_mip_parity():
+    """mip-NeRF rendering parity: conical-frustum IPE casting, blurred-weight
+    resampling, rgb padding — reference vs ours, eval mode (deterministic).
+
+    Uses a dense NeRF on 6-dim (mean, cov) inputs via our MipNeRFMoE-style
+    contract; the reference mip path calls nerf(x) with x = [mean|cov|dir|idx],
+    so a reference NeRFMoE in mip form is required. We instead compare with a
+    reference MipNeRFMoE built from get_nerf_moe_inner (seqexperts,
+    pure-torch MoE strategy)."""
+    import types
+    import torch
+
+    m, e = 16, 4
+    graph = {
+        "layer_num_main": 3, "sigma_tag": 0, "dir_tag": 1, "color_tag": 2,
+        "layers": {
+            "xyz": {"in_ch": 15, "h_ch": 0, "out_ch": m, "num": 1,
+                    "type": "mlp", "act": "none"},
+            "0": {"in_ch": m, "h_ch": m, "out_ch": m, "num": 2,
+                  "skips": [1], "init_factor": 1.0, "type": "moe",
+                  "act": "relu", "gate_type": "top", "k": 1,
+                  "fp32_gate": True, "gate_dim": m},
+            "1": {"in_ch": m, "h_ch": 0, "out_ch": m, "num": 1,
+                  "type": "mlp", "act": "none"},
+            "2": {"in_ch": m + 9 + 4, "h_ch": 0, "out_ch": 8, "num": 1,
+                  "type": "mlp", "act": "relu"},
+            "sigma": {"in_ch": m, "h_ch": 0, "out_ch": 1, "num": 1,
+                      "type": "mlp", "act": "none"},
+            "color": {"in_ch": 8, "h_ch": 0, "out_ch": 3, "num": 1,
+                      "type": "mlp", "act": "relu"},
+            "moe_external_gate": {"in_ch": m, "h_ch": m, "out_ch": m,
+                                  "num": 2, "type": "mlp", "act": "none"},
+            "gate_input_norm": {"in_ch": m, "h_ch": 0, "out_ch": 0,
+                                "num": 1, "type": "layernorm"},
+        },
+    }
+
+    def ref_args(expert_type):
+        return types.SimpleNamespace(
+            sh_deg=None, shifted_softplus=True, pos_xyz_dim=2,
+            pos_dir_dim=1, appearance_dim=4, affine_appearance=False,
+            nerfmoe_class_name="MipNeRFMoE", model=graph,
+            moe_expert_type=expert_type, moe_expert_num=e,
+            moe_capacity_factor=1.0, batch_prioritized_routing=True,
+            gate_noise=-1.0, use_load_importance_loss=False,
+            compute_balance_loss=False, dispatcher_no_score=False,
+            dispatcher_no_postscore=False, use_moe_external_gate=True,
+            use_gate_input_norm=True, moe_use_residual=False,
+            moe_return_gates=False, moe_return_gate_logits=False,
+            use_moe=True, amp_use_bfloat16=False, bf16=False,
+            no_expert_parallel=True, moe_local_expert_num=e,
+            single_data_group=None, use_fp32_in_moe=False,
+            moe_layer_num=1, apply_on_expert_fn_name=None,
+            no_feature_mapping_relu=False,
+            parallel_env=types.SimpleNamespace(global_rank=0),
+            # rendering flags
+            perturb=0.0, coarse_samples=6, fine_samples=6,
+            model_chunk_size=4096, use_cascade=False, white_bkgd=False,
+            use_sigma_noise=False, sigma_noise_std=0.0,
+            use_random_background_color=False, return_pts=False,
+            return_pts_rgb=False, return_pts_alpha=False,
+            return_sigma=False, return_alpha=False,
+            rgb_padding=0.001, weights_resample_padding=0.01,
+            stop_level_grad=True,
+            container_path=None, train_mega_nerf=None,
+        )
+
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+    from switch_nerf.models.nerf_moe import get_nerf_moe_inner
+    from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
+        MOELayer as RefMOELayer
+    from switch_nerf.rendering_mip import render_rays as ref_render_mip
+
+    torch.manual_seed(21)
+    args_a = ref_args("expertmlp")
+    ref_a = get_nerf_moe_inner(args_a, appearance_count=4, xyz_dim=3).eval()
+    sd = {k: v.clone() for k, v in ref_a.state_dict().items()}
+
+    sd_seq = convert_to_seqexperts({k: v.clone() for k, v in sd.items()})
+    sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in sd_seq.items()}
+    torch.manual_seed(22)
+    args_b = ref_args("seqexperts")
+    ref_b = get_nerf_moe_inner(args_b, appearance_count=4, xyz_dim=3).eval()
+    ref_b.load_state_dict(sd_seq)
+    for mod in ref_b.modules():
+        if isinstance(mod, RefMOELayer):
+            orig = mod.forward
+
+            def patched(inp, _orig=orig, **kw):
+                kw["apply_on_expert_fn_name"] = \
+                    "apply_on_expert_fn_nobatch_torch"
+                return _orig(inp, **kw)
+            mod.forward = patched
+
+    rng = np.random.default_rng(9)
+    n = 16
+    o = rng.normal(0, 0.2, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_np = np.concatenate(
+        [o, d, np.full((n, 1), 0.1, np.float32),
+         np.full((n, 1), 3.0, np.float32)], -1)
+    radii_np = np.full((n, 1), 0.02, np.float32)
+    idx_np = rng.integers(0, 4, (n,)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_res, _ = ref_render_mip(
+            nerf=ref_b, rays=torch.tensor(rays_np),
+            radii=torch.tensor(radii_np),
+            image_indices=torch.tensor(idx_np), hparams=args_b,
+            get_depth=True, get_depth_variance=False)
+    want_rgb = ref_res["rgb_fine"].numpy()
+    want_depth = ref_res["depth_fine"].numpy()
+
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.nerf_moe import MipNeRFMoE
+    from switch_nerf_tpu.render.rendering import RenderConfig
+    from switch_nerf_tpu.render.rendering_mip import render_rays_mip
+    from switch_nerf_tpu.trainer import make_model_fn
+
+    import jax
+    params = jax.tree_util.tree_map(jnp.asarray, unflatten(
+        convert_nerf_moe_state_dict({k: v.numpy() for k, v in sd.items()})))
+    ours = MipNeRFMoE(
+        layer_cfg=dict(graph, expert_num=e), pos_xyz_dim=2, pos_dir_dim=1,
+        appearance_dim=4, appearance_count=4, xyz_dim=3,
+        batch_prioritized_routing=True, use_moe_external_gate=True,
+        use_gate_input_norm=True, train_dispatch="nodrop",
+        eval_dispatch="nodrop")
+    cfg = RenderConfig(coarse_samples=6, fine_samples=6, perturb=0.0,
+                       model_chunk_size=4096, pos_dir_dim=1, use_mip=True,
+                       rgb_padding=0.001, weights_resample_padding=0.01,
+                       stop_level_grad=True)
+    res = render_rays_mip(
+        make_model_fn(ours, params, None, False), jnp.asarray(rays_np),
+        jnp.asarray(radii_np), jnp.asarray(idx_np), cfg, None, train=False,
+        get_depth=True)
+    np.testing.assert_allclose(np.asarray(res["rgb_fine"]), want_rgb,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res["depth_fine"]), want_depth,
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res["rgb_coarse"]),
+                               ref_res["rgb_coarse"].numpy(),
+                               rtol=1e-4, atol=1e-5)
