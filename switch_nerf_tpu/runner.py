@@ -754,6 +754,100 @@ class Runner:
                 "\n".join(f"{k}: {v}" for k, v in means.items()))
         return means
 
+    def eval_points_nerf(self):
+        """Classic-NeRF per-expert point clouds
+        (runner.py:2500-2797 _run_validation_points_nerf analog): same
+        machinery as eval_points but rays come from the in-memory
+        NeRFDataset val split."""
+        assert self.hparams.use_moe
+        assert self.data_type == "nerf"
+        self.hparams.moe_return_gates = True
+        self.nerf = get_nerf(self.hparams, self.appearance_count)
+        state = self._load_eval_state()
+
+        import jax
+        from switch_nerf_tpu.utils.ply import write_ply_points
+
+        h = self.hparams
+        model = self.nerf
+        s_coarse = h.coarse_samples
+        skip = h.render_test_points_sample_skip
+        base_dir = (self.experiment_path or Path(".")) / "eval_points"
+
+        @jax.jit
+        def point_fn(params, pts):
+            out = model.apply({"params": params["nerf"]}, pts,
+                              deterministic=True)
+            gates = jnp.stack(out["extras"]["moe_gates"], axis=1)
+            return out["outputs"], gates
+
+        written = []
+        n_images = min(len(self.val_set), h.render_test_points_image_num)
+        for i in range(n_images):
+            sample = self.val_set[i]
+            rays = sample["rays"].reshape(-1, 8)
+            bs = h.image_pixel_batch_size
+            all_pts, all_rgb, all_alpha, all_gates = [], [], [], []
+            for lo in range(0, rays.shape[0], bs):
+                r = rays[lo:lo + bs]
+                n = r.shape[0]
+                pad = bs - n
+                if pad:
+                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+                o, d = r[:, 0:3], r[:, 3:6]
+                near, far = r[:, 6:7], r[:, 7:8]
+                z = near + (far - near) * np.linspace(
+                    0.0, 1.0, s_coarse, dtype=np.float32)[None, :]
+                xyz = o[:, None, :] + d[:, None, :] * z[..., None]
+                parts = [xyz.reshape(-1, 3)]
+                if h.use_mip:
+                    # mip models take (mean, cov) — use tiny fixed cov
+                    parts.append(np.full((bs * s_coarse, 3), 1e-6,
+                                         np.float32))
+                if h.pos_dir_dim > 0:
+                    parts.append(np.repeat(d, s_coarse, axis=0))
+                if h.appearance_dim > 0:
+                    parts.append(np.full((bs * s_coarse, 1),
+                                         float(sample["img_i"]), np.float32))
+                pts = np.concatenate(parts, -1).astype(np.float32)
+                out, gates = point_fn(state.params, jnp.asarray(pts))
+                out = np.asarray(out).reshape(bs, s_coarse, -1)
+                gates = np.asarray(gates).reshape(bs, s_coarse,
+                                                  *gates.shape[1:])
+                rgb, sigma = out[..., :3], out[..., 3]
+                deltas = np.concatenate(
+                    [z[:, 1:] - z[:, :-1],
+                     1e10 * np.ones((bs, 1), np.float32)], -1)
+                alpha = 1.0 - np.exp(-deltas * sigma)
+                sl = slice(None, None, skip)
+                all_pts.append(xyz[:n, sl].reshape(-1, 3))
+                all_rgb.append(rgb[:n, sl].reshape(-1, 3))
+                all_alpha.append(alpha[:n, sl].reshape(-1))
+                all_gates.append(
+                    gates[:n, sl, :, :].reshape(-1, *gates.shape[2:]))
+
+            pts = np.concatenate(all_pts)
+            rgb = np.clip(np.concatenate(all_rgb), 0, 1)
+            alpha = np.clip(np.concatenate(all_alpha), 0, 1)
+            gates = np.concatenate(all_gates)
+            rgba = (np.concatenate([rgb, alpha[:, None]], -1)
+                    * 255).astype(np.uint8)
+            out_dir = base_dir / str(i)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            write_ply_points(out_dir / f"{i:03d}_coarse_pts_rgba.ply",
+                             pts, rgba)
+            written.append(out_dir / f"{i:03d}_coarse_pts_rgba.ply")
+            for tmp_k in range(gates.shape[-1]):
+                idx_k = gates[:, 0, tmp_k]
+                for expert_id in range(h.moe_expert_num):
+                    sel = idx_k == expert_id
+                    name = (f"{i:03d}_coarse_pts_rgba_top_{tmp_k}"
+                            f"_exp_{expert_id}.ply")
+                    write_ply_points(out_dir / name, pts[sel], rgba[sel])
+                    written.append(out_dir / name)
+            main_log(f"eval_points_nerf image {i}: {pts.shape[0]} points")
+        return written
+
     def eval_ckpt(self):
         """Checkpoint sanity: load + report param count (runner.py:1008+)."""
         state = self._load_eval_state()
