@@ -199,3 +199,40 @@ def test_sort_with_payloads_grad():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(jax.grad(f)(p)),
                                np.asarray(jax.grad(f_ref)(p)), rtol=1e-5)
+
+
+def test_llff_loader(tmp_path):
+    """Synthetic LLFF scene: poses_bounds.npy + images dir -> NDC rays."""
+    from PIL import Image as PILImage
+    rng = np.random.default_rng(0)
+    n, h, w = 6, 12, 16
+    (tmp_path / "images").mkdir()
+    for i in range(n):
+        PILImage.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                           ).save(tmp_path / "images" / f"img{i:03d}.png")
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        th = i * 0.1
+        rot = np.array([[np.cos(th), 0, np.sin(th)],
+                        [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        poses[i, :, :3] = rot
+        poses[i, :, 3] = [0.1 * i, 0, 0]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 1.0), np.full(n, 10.0)], -1).astype(np.float32)
+    arr = np.concatenate([poses.reshape(n, 15), bds], -1)
+    np.save(tmp_path / "poses_bounds.npy", arr)
+
+    import argparse
+    args = argparse.Namespace(
+        dataset_type="llff", datadir=str(tmp_path), factor=1,
+        spherify=False, llffhold=3, no_ndc=False, half_res=False,
+        testskip=1, white_bkgd=False, scale_factor=1,
+        bungee_ray_nearfar="sphere", shape="cube")
+    from switch_nerf_tpu.datasets.nerf_data import NeRFDataset
+    ds = NeRFDataset(args)
+    assert ds.rays.shape == (n, h, w, 8)
+    assert np.isfinite(ds.rays).all()
+    assert ds.near == 0.0 and ds.far == 1.0      # NDC bounds
+    assert len(ds.i_test) == 2                    # llffhold=3 over 6 images
+    assert ds.rays_train.shape[0] == (n - 2) * h * w

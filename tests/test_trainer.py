@@ -202,3 +202,21 @@ def test_finite_check_skips_step():
 def test_all_finite_helper():
     assert bool(all_finite({"a": jnp.ones(3), "b": jnp.zeros(2)}))
     assert not bool(all_finite({"a": jnp.array([1.0, jnp.nan])}))
+
+
+def test_mesh_split_invariance():
+    """The same training step must produce (near-)identical metrics no
+    matter how the mesh splits between data and expert axes — EP sharding
+    is a layout choice, not a numerics choice."""
+    h = tiny_hparams(use_moe=True, use_moe_external_gate=True,
+                     moe_expert_num=4, moe_train_batch=True)
+    h.no_expert_parallel = False
+    h.model = tiny_moe_graph()
+    losses = {}
+    for shape in ((8, 1), (4, 2), (2, 4)):
+        state, metrics = run_steps(h, mesh_shape=shape, n_steps=1)
+        losses[shape] = (float(metrics["loss"]), float(metrics["gate_loss"]))
+    base = losses[(8, 1)]
+    for shape, val in losses.items():
+        np.testing.assert_allclose(val, base, rtol=1e-5,
+                                   err_msg=f"mesh {shape} diverged")
