@@ -62,3 +62,82 @@ def test_grid_weights_sees_occupied_cell():
                      ray_subsample=1)
     assert w[8, 8, 8] > 0.1              # the blob receives weight
     assert w[0, 0, 0] < w[8, 8, 8]
+
+
+def test_octree_extraction_e2e(tmp_path):
+    """Drive scripts/create_octree_moe.py against a trained-from-init SH
+    model on a synthetic scene (sigma masking mode)."""
+    import json
+    import sys as _sys
+    import torch
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "scene"
+    for split, names in (("train", ["000", "001"]), ("val", ["002"])):
+        (root / split / "metadata").mkdir(parents=True)
+        (root / split / "rgbs").mkdir(parents=True)
+        for name in names:
+            c2w = np.eye(3, 4, dtype=np.float32)
+            c2w[2, 3] = 2.0
+            torch.save({"c2w": torch.tensor(c2w), "W": 8, "H": 8,
+                        "intrinsics": torch.tensor([10.0, 10.0, 4.0, 4.0])},
+                       root / split / "metadata" / f"{name}.pt")
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                            ).save(root / split / "rgbs" / f"{name}.jpg")
+    torch.save({"origin_drb": torch.zeros(3), "pose_scale_factor": 1.0},
+               root / "coordinates.pt")
+
+    # train 1 step to produce a checkpoint (dense SH model: pos_dir_dim=0,
+    # sh_deg=1 -> rgb_dim = 12)
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.runner import Runner
+    h = parse_args(get_opts(), [
+        "--exp_name", str(tmp_path / "exp"), "--dataset_path", str(root)])
+    h.dataset_type = "memory"
+    h.bg_nerf = False
+    h.appearance_dim = 0
+    h.pos_dir_dim = 0
+    h.sh_deg = 1
+    h.pos_xyz_dim = 2
+    h.layers = 2
+    h.skip_layers = [1]
+    h.layer_dim = 16
+    h.coarse_samples = 4
+    h.fine_samples = 4
+    h.model_chunk_size = 2048
+    h.batch_size = 32
+    h.train_iterations = 1
+    h.ckpt_interval = 1
+    h.i_print = 1
+    h.amp = False
+    runner = Runner(h)
+    runner.train()
+    ckpt = runner.model_path / "1"
+    assert ckpt.exists()
+
+    from scripts.create_octree_moe import main as octree_main
+    out = tmp_path / "tree.npz"
+    argv = ["create_octree", "--dataset_path", str(root),
+            "--output", str(out), "--ckpt_path", str(ckpt),
+            "--no_bg_nerf", "--appearance_dim", "0", "--pos_dir_dim", "0",
+            "--sh_deg", "1", "--pos_xyz_dim", "2", "--layers", "2",
+            "--skip_layers", "1", "--layer_dim", "16", "--no_amp",
+            "--init_grid_depth", "4", "--alpha_thresh", "0.0005",
+            "--scale_alpha_thresh", "0.0005", "--samples_per_cell", "2",
+            "--masking_mode", "sigma", "--model_chunk_size", "2048"]
+    old = _sys.argv
+    _sys.argv = argv
+    try:
+        octree_main()
+    finally:
+        _sys.argv = old
+
+    tree = Octree.load(out)
+    assert tree.depth == 4
+    assert tree.data_format == "SH4"
+    assert tree.data.shape[0] > 0
+    assert tree.data.shape[1] == 3 * 4 + 1   # SH coeffs + sigma
+    # query returns finite payloads inside the bbox
+    q = tree.query(np.asarray(tree.center, np.float32)[None])
+    assert np.isfinite(q).all()
