@@ -147,6 +147,7 @@ class BlockFilesystemDataset:
             self._chunk_paths = [self._chunk_paths[i] for i in order]
 
         self._chunk_index = 0
+        self._loaded_index = 0
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._loaded: Optional[Dict[str, np.ndarray]] = None
         self._next: Optional[Future] = None
@@ -160,7 +161,8 @@ class BlockFilesystemDataset:
 
     # ------------------------------------------------------------- state --
     def get_state(self) -> str:
-        return str(self._chunk_index)
+        """Index of the chunk currently loaded (matches dataset_index)."""
+        return str(self._loaded_index)
 
     def set_state(self, state: str) -> None:
         self._chunk_index = int(state) % len(self._chunk_paths)
@@ -173,6 +175,7 @@ class BlockFilesystemDataset:
 
     def load_chunk(self) -> None:
         self._loaded = self._next.result()
+        self._loaded_index = self._chunk_index
         self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
         self._start_prefetch()
 

@@ -78,6 +78,7 @@ class FilesystemDataset:
             self._chunk_paths = [self._chunk_paths[i] for i in order]
 
         self._chunk_index = 0
+        self._loaded_index = 0
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._next_chunk: Optional[Future] = None
         self._loaded: Optional[Dict[str, np.ndarray]] = None
@@ -85,7 +86,9 @@ class FilesystemDataset:
 
     # ------------------------------------------------------------- state --
     def get_state(self) -> str:
-        return str(self._chunk_index)
+        """Index of the chunk currently loaded (the one whose batches the
+        checkpoint's dataset_index refers to) — NOT the prefetched one."""
+        return str(self._loaded_index)
 
     def set_state(self, state: str) -> None:
         self._chunk_index = int(state) % len(self._chunk_paths)
@@ -103,6 +106,7 @@ class FilesystemDataset:
         """Block until the prefetched chunk is ready, start the next one."""
         assert self._next_chunk is not None
         self._loaded = self._next_chunk.result()
+        self._loaded_index = self._chunk_index
         self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
         self._start_prefetch()
 
@@ -225,8 +229,6 @@ class FilesystemDataset:
 
         next_chunk = 0
         for item_idx, item in enumerate(metadata_items):
-            if item_idx % max(1, scale_factor) != 0 and False:
-                continue
             image_data = get_rgb_index_mask(item, self._rng)
             if image_data is None:
                 continue

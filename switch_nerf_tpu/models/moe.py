@@ -109,9 +109,10 @@ class MoELayer(nn.Module):
             plan, _ = extract_critical(gates, self.top_k, self.capacity_factor,
                                        self.batch_prioritized_routing)
             gates_wo_noise = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
-            _, topk_idx = jax.lax.top_k(gates, min(self.top_k, e))
+            # plan.indices already holds the top-k expert ids ([K, S])
             topk_logits = jnp.take_along_axis(
-                logits_w_noise.astype(jnp.float32), topk_idx, axis=1)
+                logits_w_noise.astype(jnp.float32),
+                jnp.transpose(plan.indices), axis=1)
             l_aux = load_importance_loss(gates_wo_noise, topk_logits, e,
                                          self.gate_noise)
             if self.compute_balance_loss:
@@ -152,8 +153,8 @@ class MoELayer(nn.Module):
             y = y * coef[..., 0:1] + res * coef[..., 1:]
 
         if self.return_gates:
-            _, topk_idx = jax.lax.top_k(gates, min(self.top_k, e))
-            extras["gates"] = topk_idx.astype(jnp.int32)          # [S, K]
+            # routing plan already computed the top-k ids ([K, S])
+            extras["gates"] = jnp.transpose(plan.indices)          # [S, K]
         if self.return_gate_logits:
             extras["gate_logits"] = logits
 

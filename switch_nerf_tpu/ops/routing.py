@@ -83,7 +83,17 @@ def _norm_cdf(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 def load_importance_loss(scores_wo_noise: jnp.ndarray, topk_logits: jnp.ndarray,
                          num_global_experts: int, gate_noise: float) -> jnp.ndarray:
-    """(importance + load) / 2 loss from "Scaling Vision with Sparse MoE"."""
+    """(importance + load) / 2 loss from "Scaling Vision with Sparse MoE".
+
+    gate_noise must be positive: the load estimate is a normal CDF with
+    sigma = gate_noise / E (the reference's torch Normal raises on
+    non-positive scale; a negative sigma here would silently invert the
+    CDF and mis-balance experts).
+    """
+    if gate_noise <= 0:
+        raise ValueError(
+            "use_load_importance_loss requires --gate_noise > 0 "
+            f"(got {gate_noise})")
     imp = scores_wo_noise.astype(jnp.float32).sum(axis=0)
     l_imp = imp.var() / (imp.mean() ** 2 + 1e-10)
 

@@ -416,7 +416,13 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
         if cfg.use_cascade:
             results["rgb_coarse"] = vr_c.rgb
 
-        z_mid = 0.5 * (zv_c[:, :-1] + zv_c[:, 1:])
+        # zv_c comes back FLIPPED (descending inverse-depth); interval
+        # lookup needs ascending bins. The reference feeds the ASCENDING
+        # mids of the original bg z paired with the flipped-order weights
+        # (its _get_results computes mids on the pre-flip z_vals while
+        # weights come from the flipped pass) — reproduce that exactly:
+        # flip the descending mids back to ascending, keep weights as-is.
+        z_mid = jnp.flip(0.5 * (zv_c[:, :-1] + zv_c[:, 1:]), axis=-1)
         fine_z = sample_pdf(z_mid,
                             jax.lax.stop_gradient(vr_c.weights[:, 1:-1]),
                             fine_n, det=(perturb == 0), rng=r_fine)

@@ -454,10 +454,15 @@ class Runner:
 
     def _make_render_fn(self, state):
         h = self.hparams
-        render_cfg = render_config_from_hparams(h)
-        scene = SceneInfo(self.sphere_center, self.sphere_radius)
-        eval_step = jax.jit(make_eval_step(
-            self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip))
+        # build + jit the eval program ONCE per Runner: params are an
+        # argument, so periodic validation during training reuses the same
+        # compiled executable instead of recompiling at every val_interval
+        if getattr(self, "_eval_step", None) is None:
+            render_cfg = render_config_from_hparams(h)
+            scene = SceneInfo(self.sphere_center, self.sphere_radius)
+            self._eval_step = jax.jit(make_eval_step(
+                self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip))
+        eval_step = self._eval_step
 
         def render_chunks(rays: np.ndarray, image_index: float,
                           radii: Optional[np.ndarray] = None):

@@ -143,12 +143,17 @@ def test_filesystem_dataset_chunks(mega_dataset, tmp_path):
     total = sum(b["rays"].shape[0] for b in ds.sample_batches(16))
     assert total == n0 - n0 % 16
 
-    # state round-trip
-    s = ds.get_state()
+    # state round-trip: get_state identifies the chunk CURRENTLY loaded
+    # (resume regression: a checkpoint's dataset_index refers to this chunk)
+    assert ds.get_state() == "0"
+    first = ds[0]["rays"].copy()
     ds.load_chunk()
-    ds.set_state(s)
+    assert ds.get_state() == "1"
+    ds.set_state("0")
     ds.load_chunk()
+    assert ds.get_state() == "0"
     assert len(ds) == n0
+    np.testing.assert_array_equal(ds[0]["rays"], first)
 
     # reuse across instances validates the manifest
     ds2 = FilesystemDataset(items, 0.05, 2.0, None, True,
