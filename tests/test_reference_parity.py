@@ -627,3 +627,91 @@ def test_convert_torch_ckpt_cli(tmp_path):
     want = model.apply({"params": direct}, jnp.asarray(x_np),
                        deterministic=True)["outputs"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_bg_fine_sampling_parity():
+    """Direct probe of the background fine-pass importance sampling (the
+    full-render parity test is weakly sensitive here because untrained
+    networks are smooth): bg coarse weights -> fine z-values must match the
+    reference's _sample_pdf pipeline exactly, including its
+    ascending-bins-with-flipped-weights pairing."""
+    import types
+    import torch
+    from switch_nerf.models.nerf import NeRF as RefNeRF, ShiftedSoftplus
+    import switch_nerf.rendering as RR
+
+    torch.manual_seed(1)
+    bg_t = RefNeRF(2, 1, 2, [1], 16, 4, False, 5, 3, 4,
+                   ShiftedSoftplus()).eval()
+    hp = types.SimpleNamespace(
+        perturb=0.0, coarse_samples=8, fine_samples=8,
+        model_chunk_size=4096, use_cascade=False, sh_deg=None,
+        pos_dir_dim=1, white_bkgd=False, use_random_background_color=False,
+        use_sigma_noise=False, sigma_noise_std=0.0, use_moe=False,
+        bg_use_moe=False, moe_return_gates=False, return_pts=False,
+        return_pts_rgb=False, return_pts_alpha=False, return_sigma=False,
+        return_alpha=False, use_load_importance_loss=False,
+        compute_balance_loss=False, container_path=None,
+        train_mega_nerf=None)
+    rng = np.random.default_rng(4)
+    n = 8
+    o = rng.normal(0, 0.2, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    center = np.zeros(3, np.float32)
+    radius = np.array([1.2, 1.1, 1.3], np.float32)
+
+    with torch.no_grad():
+        bg_z = torch.linspace(0, 1, 4).expand(n, 4)
+        pts, dr = RR._depth2pts_outside(
+            torch.tensor(o)[:, None], torch.tensor(d)[:, None], bg_z,
+            torch.tensor(center), torch.tensor(radius), False, False)
+        res = {}
+        RR._inference(results=res, typ="coarse", nerf=bg_t,
+                      rays_d=torch.tensor(d)[:, None],
+                      image_indices=torch.zeros(n, 1, 1), hparams=hp,
+                      xyz=pts, z_vals=bg_z,
+                      last_delta=1e10 * torch.ones(n, 1),
+                      composite_rgb=False, get_depth=False,
+                      get_depth_variance=False, get_weights=True,
+                      get_bg_lambda=False, flip=True, depth_real=dr,
+                      white_bkgd=False)
+        z_mid = 0.5 * (bg_z[:, :-1] + bg_z[:, 1:])
+        ref_fine = RR._sample_pdf(z_mid, res["weights_coarse"][:, 1:-1], 4,
+                                  det=True)
+
+    import jax
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_dense_nerf_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.nerf import NeRF
+    from switch_nerf_tpu.ops.volume import (depth2pts_outside, sample_pdf,
+                                            volume_render)
+    from switch_nerf_tpu.render.rendering import (RenderConfig,
+                                                  _inference as our_inf)
+    from switch_nerf_tpu.trainer import make_model_fn
+
+    bg = NeRF(pos_xyz_dim=2, pos_dir_dim=1, layers=2, skip_layers=(1,),
+              layer_dim=16, appearance_dim=4, appearance_count=5,
+              rgb_dim=3, xyz_dim=4)
+    bg_p = unflatten(convert_dense_nerf_state_dict(
+        {k: v.numpy() for k, v in bg_t.state_dict().items()}))
+    cfg = RenderConfig(coarse_samples=8, fine_samples=8, perturb=0.0,
+                       model_chunk_size=4096, pos_dir_dim=1)
+    bg_z_j = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 4), (n, 4))
+    pts_j, dr_j = depth2pts_outside(
+        jnp.asarray(o)[:, None], jnp.asarray(d)[:, None], bg_z_j,
+        jnp.asarray(center), jnp.asarray(radius))
+    rgbs_c, sigmas_c, zv_c, dr_c, _ = our_inf(
+        make_model_fn(bg, bg_p, None, False), pts_j, bg_z_j,
+        jnp.asarray(d)[:, None], jnp.zeros((n,)),
+        1e10 * jnp.ones((n, 1)), cfg, None, False, flip=True,
+        depth_real=dr_j)
+    vr_c = volume_render(rgbs_c, sigmas_c, zv_c, 1e10 * jnp.ones((n, 1)),
+                         flip=True, composite_rgb=False, depth_real=dr_c)
+    z_mid_j = jnp.flip(0.5 * (zv_c[:, :-1] + zv_c[:, 1:]), axis=-1)
+    our_fine = sample_pdf(z_mid_j,
+                          jax.lax.stop_gradient(vr_c.weights[:, 1:-1]),
+                          4, det=True, rng=None)
+    np.testing.assert_allclose(np.asarray(our_fine), ref_fine.numpy(),
+                               atol=1e-6)
