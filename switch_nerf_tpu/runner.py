@@ -592,10 +592,30 @@ class Runner:
         return self._run_validation_points(state)
 
     def _run_validation_points(self, state):
+        """Mega-NeRF points export over val image metadata."""
+        h = self.hparams
+
+        def ray_sources():
+            n_images = min(len(self.val_items),
+                           h.render_test_points_image_num)
+            for i in range(n_images):
+                md = self.val_items[i]
+                directions = get_ray_directions(
+                    md.W, md.H, md.intrinsics[0], md.intrinsics[1],
+                    md.intrinsics[2], md.intrinsics[3], h.center_pixels)
+                rays = get_rays(directions, md.c2w, self.near, self.far,
+                                self.ray_altitude_range).reshape(-1, 8)
+                yield rays, float(md.image_index)
+
+        return self._export_point_clouds(state, ray_sources())
+
+    def _export_point_clouds(self, state, ray_sources):
+        """Shared coarse-sample point-cloud exporter: per-point expert ids
+        from MoE gate returns -> all-points / per-expert / segmentation PLYs
+        (reference runner.py:1871-2202 and :2500-2797)."""
         import jax
         from switch_nerf_tpu.utils.ply import write_ply_points
         from switch_nerf_tpu.utils.visualize import voc_palette
-        from switch_nerf_tpu.ops.volume import expand_and_perturb_z_vals
 
         h = self.hparams
         model = self.nerf
@@ -610,17 +630,8 @@ class Runner:
             gates = jnp.stack(out["extras"]["moe_gates"], axis=1)  # [S,L,K]
             return out["outputs"], gates
 
-        n_images = min(len(self.val_items), h.render_test_points_image_num)
         written = []
-        for i in range(n_images):
-            metadata = self.val_items[i]
-            directions = get_ray_directions(
-                metadata.W, metadata.H, metadata.intrinsics[0],
-                metadata.intrinsics[1], metadata.intrinsics[2],
-                metadata.intrinsics[3], h.center_pixels)
-            rays = get_rays(directions, metadata.c2w, self.near, self.far,
-                            self.ray_altitude_range).reshape(-1, 8)
-
+        for i, (rays, image_index) in enumerate(ray_sources):
             all_pts, all_rgb, all_alpha, all_gates = [], [], [], []
             bs = h.image_pixel_batch_size
             for lo in range(0, rays.shape[0], bs):
@@ -635,11 +646,15 @@ class Runner:
                     0.0, 1.0, s_coarse, dtype=np.float32)[None, :]
                 xyz = o[:, None, :] + d[:, None, :] * z[..., None]
                 parts = [xyz.reshape(-1, 3)]
+                if h.use_mip:
+                    # mip models take (mean, cov) — tiny fixed covariance
+                    parts.append(np.full((bs * s_coarse, 3), 1e-6,
+                                         np.float32))
                 if h.pos_dir_dim > 0:
                     parts.append(np.repeat(d, s_coarse, axis=0))
                 if h.appearance_dim > 0:
-                    parts.append(np.full((bs * s_coarse, 1),
-                                         metadata.image_index, np.float32))
+                    parts.append(np.full((bs * s_coarse, 1), image_index,
+                                         np.float32))
                 pts = np.concatenate(parts, -1).astype(np.float32)
 
                 out, gates = point_fn(state.params, jnp.asarray(pts))
@@ -671,9 +686,8 @@ class Runner:
             write_ply_points(out_dir / f"{i:03d}_coarse_pts_rgba.ply",
                              pts, rgba)
             written.append(out_dir / f"{i:03d}_coarse_pts_rgba.ply")
-            k_val = gates.shape[-1]
             palette = voc_palette()
-            for tmp_k in range(k_val):
+            for tmp_k in range(gates.shape[-1]):
                 idx_k = gates[:, 0, tmp_k]         # first moe layer
                 for expert_id in range(h.moe_expert_num):
                     sel = idx_k == expert_id
@@ -688,170 +702,28 @@ class Runner:
                     write_ply_points(
                         out_dir / f"{i:03d}_coarse_pts_seg.ply",
                         pts, seg_rgba)
-            main_log(f"eval_points image {i}: {pts.shape[0]} points, "
-                     f"{len(written)} PLY files")
+            main_log(f"eval_points image {i}: {pts.shape[0]} points")
         return written
-
-    def eval_image_blocknerf(self):
-        """Block-NeRF tfrecord eval: masked + unmasked PSNR/SSIM.
-
-        Parity: eval_image_blocknerf.py -> _run_validation_image_blocknerf
-        (runner.py:1610-1869): val tfrecords with moving-object masks
-        (mask==1 -> moving -> excluded), mip rendering with radii.
-        """
-        from switch_nerf_tpu.datasets.block_filesystem_dataset import \
-            load_tfrecord
-
-        h = self.hparams
-        state = self._load_eval_state()
-        render_chunks = self._make_render_fn(state)
-        meter = DictAverageMeter()
-        out_dir = (self.experiment_path / f"val_{int(state.step)}"
-                   if self.experiment_path is not None else None)
-        if out_dir is not None:
-            out_dir.mkdir(parents=True, exist_ok=True)
-
-        names = [l.strip() for l in
-                 Path(h.block_val_list_path).read_text().splitlines()
-                 if l.strip()]
-        img_counter = 0
-        for rec_name in names:
-            rec_path = Path(h.dataset_path) / rec_name
-            id_map = self.image_hash_id_map.get(rec_name,
-                                                self.image_hash_id_map)
-            dicts = load_tfrecord(rec_path, id_map, self.near, self.far,
-                                  load_mask=True)
-            for d in dicts:
-                rays = d["rays"].reshape(-1, 8)
-                radii = d["radii"].reshape(-1, 1)
-                res = render_chunks(rays, float(d["image_ids"]), radii)
-                typ = "fine" if "rgb_fine" in res else "coarse"
-                hh, ww = d["rgbs"].shape[:2]
-                pred = np.clip(res[f"rgb_{typ}"].reshape(hh, ww, 3), 0, 1)
-                gt = d["rgbs"]
-                # mask: 1 == moving object == invalid
-                valid = d.get("mask")
-                valid = (valid[..., 0] < 0.5) if valid is not None else \
-                    np.ones((hh, ww), bool)
-                img_metrics = {
-                    "psnr": M.psnr(jnp.asarray(pred), jnp.asarray(gt)),
-                    "ssim": M.ssim(pred, gt, 1.0),
-                    "psnr_mask": M.psnr_mask(jnp.asarray(pred),
-                                             jnp.asarray(gt), valid),
-                    "ssim_mask": M.ssim_mask(pred, gt, 1.0, valid),
-                }
-                meter.update(img_metrics)
-                main_log(f"blocknerf val image {img_counter}: " + " ".join(
-                    f"{k}={v:.4f}" for k, v in img_metrics.items()))
-                if out_dir is not None:
-                    res_img = {f"rgb_{typ}": pred}
-                    if f"depth_{typ}" in res:
-                        res_img[f"depth_{typ}"] = \
-                            res[f"depth_{typ}"].reshape(hh, ww)
-                    self._write_val_outputs(out_dir, img_counter, gt, pred,
-                                            res_img, typ, img_metrics)
-                img_counter += 1
-        means = meter.mean()
-        main_log("blocknerf val means: " + " ".join(
-            f"{k}={v:.4f}" for k, v in means.items()))
-        if out_dir is not None:
-            (out_dir / "metrics.txt").write_text(
-                "\n".join(f"{k}: {v}" for k, v in means.items()))
-        return means
 
     def eval_points_nerf(self):
         """Classic-NeRF per-expert point clouds
-        (runner.py:2500-2797 _run_validation_points_nerf analog): same
-        machinery as eval_points but rays come from the in-memory
-        NeRFDataset val split."""
+        (runner.py:2500-2797 _run_validation_points_nerf analog): shared
+        exporter over the in-memory NeRFDataset val split."""
         assert self.hparams.use_moe
         assert self.data_type == "nerf"
         self.hparams.moe_return_gates = True
         self.nerf = get_nerf(self.hparams, self.appearance_count)
         state = self._load_eval_state()
 
-        import jax
-        from switch_nerf_tpu.utils.ply import write_ply_points
+        def ray_sources():
+            n_images = min(len(self.val_set),
+                           self.hparams.render_test_points_image_num)
+            for i in range(n_images):
+                sample = self.val_set[i]
+                yield (sample["rays"].reshape(-1, 8),
+                       float(sample["img_i"]))
 
-        h = self.hparams
-        model = self.nerf
-        s_coarse = h.coarse_samples
-        skip = h.render_test_points_sample_skip
-        base_dir = (self.experiment_path or Path(".")) / "eval_points"
-
-        @jax.jit
-        def point_fn(params, pts):
-            out = model.apply({"params": params["nerf"]}, pts,
-                              deterministic=True)
-            gates = jnp.stack(out["extras"]["moe_gates"], axis=1)
-            return out["outputs"], gates
-
-        written = []
-        n_images = min(len(self.val_set), h.render_test_points_image_num)
-        for i in range(n_images):
-            sample = self.val_set[i]
-            rays = sample["rays"].reshape(-1, 8)
-            bs = h.image_pixel_batch_size
-            all_pts, all_rgb, all_alpha, all_gates = [], [], [], []
-            for lo in range(0, rays.shape[0], bs):
-                r = rays[lo:lo + bs]
-                n = r.shape[0]
-                pad = bs - n
-                if pad:
-                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
-                o, d = r[:, 0:3], r[:, 3:6]
-                near, far = r[:, 6:7], r[:, 7:8]
-                z = near + (far - near) * np.linspace(
-                    0.0, 1.0, s_coarse, dtype=np.float32)[None, :]
-                xyz = o[:, None, :] + d[:, None, :] * z[..., None]
-                parts = [xyz.reshape(-1, 3)]
-                if h.use_mip:
-                    # mip models take (mean, cov) — use tiny fixed cov
-                    parts.append(np.full((bs * s_coarse, 3), 1e-6,
-                                         np.float32))
-                if h.pos_dir_dim > 0:
-                    parts.append(np.repeat(d, s_coarse, axis=0))
-                if h.appearance_dim > 0:
-                    parts.append(np.full((bs * s_coarse, 1),
-                                         float(sample["img_i"]), np.float32))
-                pts = np.concatenate(parts, -1).astype(np.float32)
-                out, gates = point_fn(state.params, jnp.asarray(pts))
-                out = np.asarray(out).reshape(bs, s_coarse, -1)
-                gates = np.asarray(gates).reshape(bs, s_coarse,
-                                                  *gates.shape[1:])
-                rgb, sigma = out[..., :3], out[..., 3]
-                deltas = np.concatenate(
-                    [z[:, 1:] - z[:, :-1],
-                     1e10 * np.ones((bs, 1), np.float32)], -1)
-                alpha = 1.0 - np.exp(-deltas * sigma)
-                sl = slice(None, None, skip)
-                all_pts.append(xyz[:n, sl].reshape(-1, 3))
-                all_rgb.append(rgb[:n, sl].reshape(-1, 3))
-                all_alpha.append(alpha[:n, sl].reshape(-1))
-                all_gates.append(
-                    gates[:n, sl, :, :].reshape(-1, *gates.shape[2:]))
-
-            pts = np.concatenate(all_pts)
-            rgb = np.clip(np.concatenate(all_rgb), 0, 1)
-            alpha = np.clip(np.concatenate(all_alpha), 0, 1)
-            gates = np.concatenate(all_gates)
-            rgba = (np.concatenate([rgb, alpha[:, None]], -1)
-                    * 255).astype(np.uint8)
-            out_dir = base_dir / str(i)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            write_ply_points(out_dir / f"{i:03d}_coarse_pts_rgba.ply",
-                             pts, rgba)
-            written.append(out_dir / f"{i:03d}_coarse_pts_rgba.ply")
-            for tmp_k in range(gates.shape[-1]):
-                idx_k = gates[:, 0, tmp_k]
-                for expert_id in range(h.moe_expert_num):
-                    sel = idx_k == expert_id
-                    name = (f"{i:03d}_coarse_pts_rgba_top_{tmp_k}"
-                            f"_exp_{expert_id}.ply")
-                    write_ply_points(out_dir / name, pts[sel], rgba[sel])
-                    written.append(out_dir / name)
-            main_log(f"eval_points_nerf image {i}: {pts.shape[0]} points")
-        return written
+        return self._export_point_clouds(state, ray_sources())
 
     def eval_ckpt(self):
         """Checkpoint sanity: load + report param count (runner.py:1008+)."""
