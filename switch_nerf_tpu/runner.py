@@ -705,6 +705,73 @@ class Runner:
             main_log(f"eval_points image {i}: {pts.shape[0]} points")
         return written
 
+    def eval_image_blocknerf(self):
+        """Block-NeRF tfrecord eval: masked + unmasked PSNR/SSIM.
+
+        Parity: eval_image_blocknerf.py -> _run_validation_image_blocknerf
+        (runner.py:1610-1869): val tfrecords with moving-object masks
+        (mask==1 -> moving -> excluded), mip rendering with radii.
+        """
+        from switch_nerf_tpu.datasets.block_filesystem_dataset import \
+            load_tfrecord
+
+        h = self.hparams
+        state = self._load_eval_state()
+        render_chunks = self._make_render_fn(state)
+        meter = DictAverageMeter()
+        out_dir = (self.experiment_path / f"val_{int(state.step)}"
+                   if self.experiment_path is not None else None)
+        if out_dir is not None:
+            out_dir.mkdir(parents=True, exist_ok=True)
+
+        names = [l.strip() for l in
+                 Path(h.block_val_list_path).read_text().splitlines()
+                 if l.strip()]
+        img_counter = 0
+        for rec_name in names:
+            rec_path = Path(h.dataset_path) / rec_name
+            id_map = self.image_hash_id_map.get(rec_name,
+                                                self.image_hash_id_map)
+            dicts = load_tfrecord(rec_path, id_map, self.near, self.far,
+                                  load_mask=True)
+            for d in dicts:
+                rays = d["rays"].reshape(-1, 8)
+                radii = d["radii"].reshape(-1, 1)
+                res = render_chunks(rays, float(d["image_ids"]), radii)
+                typ = "fine" if "rgb_fine" in res else "coarse"
+                hh, ww = d["rgbs"].shape[:2]
+                pred = np.clip(res[f"rgb_{typ}"].reshape(hh, ww, 3), 0, 1)
+                gt = d["rgbs"]
+                # mask: 1 == moving object == invalid
+                valid = d.get("mask")
+                valid = (valid[..., 0] < 0.5) if valid is not None else \
+                    np.ones((hh, ww), bool)
+                img_metrics = {
+                    "psnr": M.psnr(jnp.asarray(pred), jnp.asarray(gt)),
+                    "ssim": M.ssim(pred, gt, 1.0),
+                    "psnr_mask": M.psnr_mask(jnp.asarray(pred),
+                                             jnp.asarray(gt), valid),
+                    "ssim_mask": M.ssim_mask(pred, gt, 1.0, valid),
+                }
+                meter.update(img_metrics)
+                main_log(f"blocknerf val image {img_counter}: " + " ".join(
+                    f"{k}={v:.4f}" for k, v in img_metrics.items()))
+                if out_dir is not None:
+                    res_img = {f"rgb_{typ}": pred}
+                    if f"depth_{typ}" in res:
+                        res_img[f"depth_{typ}"] = \
+                            res[f"depth_{typ}"].reshape(hh, ww)
+                    self._write_val_outputs(out_dir, img_counter, gt, pred,
+                                            res_img, typ, img_metrics)
+                img_counter += 1
+        means = meter.mean()
+        main_log("blocknerf val means: " + " ".join(
+            f"{k}={v:.4f}" for k, v in means.items()))
+        if out_dir is not None:
+            (out_dir / "metrics.txt").write_text(
+                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        return means
+
     def eval_points_nerf(self):
         """Classic-NeRF per-expert point clouds
         (runner.py:2500-2797 _run_validation_points_nerf analog): shared
