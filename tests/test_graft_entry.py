@@ -1,0 +1,33 @@
+"""Driver-contract regression tests for __graft_entry__.py.
+
+Round-1 shipped a dryrun_multichip that only worked via `python
+__graft_entry__.py` — the driver imports the module inside a 1-chip
+process and calls dryrun_multichip(8) directly, which failed
+(MULTICHIP_r01.json: ok=false). These tests pin the import-and-call
+contract from a deliberately 1-device process.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_in_one_device_process(code: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    # Simulate the driver's runtime: a process whose JAX sees ONE device.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    return subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=600)
+
+
+def test_dryrun_multichip_from_one_device_process():
+    proc = _run_in_one_device_process(
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout, (
+        proc.stdout[-2000:])
