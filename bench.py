@@ -3,7 +3,11 @@
 Metric: rays/sec/chip on the Building-scene configuration — width-256
 7-layer top-1 8-expert MoE with external gate + gate-input LayerNorm,
 256 coarse + 512 fine samples/ray, bf16 compute, capacity-factor-1.0
-batch-prioritized routing (reference command: README.md:59-82).
+batch-prioritized routing (reference command: README.md:59-82), WITH the
+background NeRF the published run trains with (reference opts.py:89: bg_nerf
+defaults on, building.yaml does not override) — dense width-256 MLP over
+coarse/2 + fine/2 inverted-sphere samples per bg ray, sphere-intersection
+fg/bg composition (reference rendering.py:34-77).
 
 Per-chip ray batch is 1024 — exactly the reference's per-GPU share of its
 global batch 8192 over 8x RTX 3090 (README.md:59-82, DistributedSampler
@@ -30,7 +34,7 @@ def main():
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     from __graft_entry__ import _building_hparams, _make_batch
-    from switch_nerf_tpu.models.model_utils import get_nerf
+    from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
     from switch_nerf_tpu.trainer import (
         SceneInfo, create_train_state, make_train_step,
         render_config_from_hparams)
@@ -45,9 +49,10 @@ def main():
     h.train_iterations = 500000
 
     model = get_nerf(h, appearance_count=8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    bg_model = get_bg_nerf(h, 8)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
     cfg = render_config_from_hparams(h)
-    step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()),
+    step = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                    donate_argnums=0)
     batch = _make_batch(h, h.batch_size)
 

@@ -91,6 +91,10 @@ def get_opts_base() -> argparse.ArgumentParser:
     p.add_argument("--train_iterations", type=int, default=500000)
     p.add_argument("--val_interval", type=int, default=500001)
     p.add_argument("--ckpt_interval", type=int, default=10000)
+    # retention: keep the newest N periodic checkpoints (0 = keep all, the
+    # reference's behavior). 500k-iteration runs at ckpt_interval 10000
+    # accumulate ~50 full checkpoints without this.
+    p.add_argument("--ckpt_keep", type=int, default=0)
     p.add_argument("--no_resume_ckpt_state", dest="resume_ckpt_state",
                    default=True, action="store_false")
     p.add_argument("--no_amp", dest="amp", default=True, action="store_false")

@@ -105,6 +105,24 @@ def ssim_mask(rgbs, target_rgbs, max_val: float, valid_mask,
     return float(jnp.mean(m[np.asarray(valid_mask)]))
 
 
+_warned_no_lpips = False
+
+# Default on-repo location for converted LPIPS weights (see
+# scripts/convert_lpips_weights.py); the env var overrides.
+_LPIPS_DEFAULT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights", "lpips.npz")
+
+
+def _resolve_lpips_weights() -> Optional[str]:
+    p = os.environ.get("SWITCH_NERF_LPIPS_WEIGHTS")
+    if p and os.path.exists(p):
+        return p
+    if not p and os.path.exists(_LPIPS_DEFAULT_PATH):
+        return _LPIPS_DEFAULT_PATH
+    return None
+
+
 def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
     """LPIPS(vgg/alex/squeeze). Returns None entries without weights.
 
@@ -112,8 +130,17 @@ def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
     torchvision backbones. Offline TPU environments have no pretrained
     weights; point SWITCH_NERF_LPIPS_WEIGHTS at a converted .npz to enable.
     """
-    weights_path = os.environ.get("SWITCH_NERF_LPIPS_WEIGHTS")
-    if not weights_path or not os.path.exists(weights_path):
+    weights_path = _resolve_lpips_weights()
+    if weights_path is None:
+        global _warned_no_lpips
+        if not _warned_no_lpips:
+            _warned_no_lpips = True
+            import logging
+            logging.getLogger(__name__).warning(
+                "LPIPS weights not found (set SWITCH_NERF_LPIPS_WEIGHTS or "
+                "run scripts/convert_lpips_weights.py) — eval metrics will "
+                "OMIT lpips_vgg/alex/squeeze; PSNR/SSIM are unaffected.")
         return {"vgg": None, "alex": None, "squeeze": None}
     from switch_nerf_tpu.lpips_jax import lpips_all  # lazy import
-    return lpips_all(np.asarray(rgbs), np.asarray(target_rgbs), weights_path)
+    return lpips_all(np.asarray(rgbs), np.asarray(target_rgbs),
+                     weights_path)

@@ -106,11 +106,19 @@ def param_shardings(params, mesh: Mesh, num_experts: int,
 
 def shard_constraint(x, spec: P):
     """with_sharding_constraint that degrades to identity when no mesh is
-    active (unit tests / single-chip paths)."""
+    active (unit tests / single-chip paths).
+
+    Only the specific no-context-mesh RuntimeError degrades; genuine
+    sharding errors (rank/axis mismatches, divisibility) propagate — a
+    silent no-constraint would be exactly the failure mode GSPMD EP
+    depends on catching.
+    """
     try:
         return jax.lax.with_sharding_constraint(x, spec)
-    except Exception:
-        return x
+    except RuntimeError as e:
+        if "non-empty mesh" in str(e):
+            return x
+        raise
 
 
 def all_finite(tree) -> jnp.ndarray:

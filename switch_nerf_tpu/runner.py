@@ -388,7 +388,8 @@ class Runner:
                                     dataset_state=(dataset.get_state()
                                                    if h.dataset_type ==
                                                    "filesystem" else None),
-                                    dataset_index=dataset_index)
+                                    dataset_index=dataset_index,
+                                    keep=h.ckpt_keep)
                     main_log(f"Saved checkpoint at {train_iterations}")
 
                 if train_iterations % h.val_interval == 0:
@@ -436,7 +437,7 @@ class Runner:
                          + " ".join(f"{k}={v:.4f}" for k, v in m_host.items()))
             if self.model_path is not None and \
                     train_iterations % h.ckpt_interval == 0:
-                save_checkpoint(self.model_path, state)
+                save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
         if self.model_path is not None:
             save_checkpoint(self.model_path, state)
         main_log("Training complete")
