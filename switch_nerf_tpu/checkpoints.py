@@ -16,9 +16,11 @@ There is no GradScaler (bf16 needs none). The jax PRNG key chain *is* the
 torch/np RNG replacement on the device side; the numpy/python states cover
 host-side shuffling.
 
-Sharded params: arrays are fetched to host before serialization (fine for
-single-host; orbax async sharded checkpointing is the planned swap-in for
-multi-host pods).
+Sharded params: single-process runs fetch arrays to host and write one
+msgpack. Multi-process runs (pods) switch to orbax sharded checkpointing —
+every process writes only its addressable shards under <dir>/<step>/orbax
+(no full-tree serialization on any one host), and restore targets the
+live shardings. Both formats carry the same extra.json.
 """
 from __future__ import annotations
 
@@ -35,34 +37,55 @@ import numpy as np
 from flax import serialization
 
 
+def _state_tree(state):
+    return {"step": state.step, "params": state.params,
+            "opt_state": state.opt_state, "rng": state.rng}
+
+
 def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
-                    dataset_index: int = -1, keep: int = 0) -> Path:
-    """Write checkpoint for `state` at state.step. Returns the path."""
+                    dataset_index: int = -1, keep: int = 0,
+                    sharded: Optional[bool] = None) -> Path:
+    """Write checkpoint for `state` at state.step. Returns the path.
+
+    sharded=None auto-selects: orbax sharded format when running
+    multi-process (each process writes its addressable shards), msgpack
+    otherwise. All processes must call this in multi-process runs.
+    """
+    if sharded is None:
+        sharded = jax.process_count() > 1
     step = int(state.step)
     path = Path(ckpt_dir) / str(step)
-    path.mkdir(parents=True, exist_ok=True)
+    if jax.process_index() == 0:
+        path.mkdir(parents=True, exist_ok=True)
 
-    host_state = jax.device_get(
-        {"step": state.step, "params": state.params,
-         "opt_state": state.opt_state, "rng": state.rng})
-    (path / "state.msgpack").write_bytes(serialization.to_bytes(host_state))
+    if sharded:
+        import orbax.checkpoint as ocp
+        target = path.resolve() / "orbax"
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(target, _state_tree(state), force=True)
+    else:
+        host_state = jax.device_get(_state_tree(state))
+        (path / "state.msgpack").write_bytes(
+            serialization.to_bytes(host_state))
 
-    extra = {
-        "iteration": step,
-        "dataset_state": dataset_state,
-        "dataset_index": dataset_index,
-        "np_random_state": base64.b64encode(
-            pickle.dumps(np.random.get_state())).decode(),
-        "python_random_state": base64.b64encode(
-            pickle.dumps(random.getstate())).decode(),
-    }
-    (path / "extra.json").write_text(json.dumps(extra))
+    if jax.process_index() == 0:
+        extra = {
+            "iteration": step,
+            "dataset_state": dataset_state,
+            "dataset_index": dataset_index,
+            "np_random_state": base64.b64encode(
+                pickle.dumps(np.random.get_state())).decode(),
+            "python_random_state": base64.b64encode(
+                pickle.dumps(random.getstate())).decode(),
+        }
+        (path / "extra.json").write_text(json.dumps(extra))
 
-    if keep > 0:
-        steps = sorted((int(p.name) for p in Path(ckpt_dir).iterdir()
-                        if p.name.isdigit()), reverse=True)
-        for old in steps[keep:]:
-            shutil.rmtree(Path(ckpt_dir) / str(old), ignore_errors=True)
+        if keep > 0:
+            steps = sorted((int(p.name) for p in Path(ckpt_dir).iterdir()
+                            if p.name.isdigit()), reverse=True)
+            for old in steps[keep:]:
+                shutil.rmtree(Path(ckpt_dir) / str(old),
+                              ignore_errors=True)
     return path
 
 
@@ -83,18 +106,36 @@ def load_checkpoint(path, state, restore_rng_states: bool = True
     (reference restores RNG before anything else, runner.py:142-151).
     """
     path = Path(path)
-    if (path / "state.msgpack").exists():
+    if (path / "state.msgpack").exists() or (path / "orbax").exists():
         step_dir = path
     else:
         step_dir = latest_checkpoint(path)
         if step_dir is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
 
-    template = jax.device_get(
-        {"step": state.step, "params": state.params,
-         "opt_state": state.opt_state, "rng": state.rng})
-    restored = serialization.from_bytes(
-        template, (step_dir / "state.msgpack").read_bytes())
+    if (step_dir / "orbax").exists():
+        # sharded (orbax) format: restore each leaf onto the template's
+        # sharding (a sharded template restores distributed, a host
+        # template restores fully-addressable arrays)
+        import orbax.checkpoint as ocp
+
+        def as_abstract(x):
+            if hasattr(x, "sharding") and hasattr(x, "shape"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+        template = jax.tree_util.tree_map(as_abstract, _state_tree(state))
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(step_dir.resolve() / "orbax", template)
+    else:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"{step_dir} is a single-host msgpack checkpoint; "
+                "multi-process restore needs the orbax sharded format "
+                "(re-save with save_checkpoint(sharded=True))")
+        template = jax.device_get(_state_tree(state))
+        restored = serialization.from_bytes(
+            template, (step_dir / "state.msgpack").read_bytes())
     state = state.replace(step=restored["step"], params=restored["params"],
                           opt_state=restored["opt_state"],
                           rng=restored["rng"])

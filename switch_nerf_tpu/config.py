@@ -115,6 +115,13 @@ def get_opts_base() -> argparse.ArgumentParser:
                    help="shard experts over the mesh 'expert' axis "
                         "(reference: --no_expert_parallel default True)")
     p.add_argument("--no_expert_parallel", default=True, action="store_true")
+    p.add_argument("--expert_weight_parallel", default=False,
+                   action="store_true",
+                   help="additionally shard expert weight matrices' hidden "
+                        "dim over the 'data' mesh axis (the reference's "
+                        "ZeRO-style zero_gather/PrimAllgather slicing, "
+                        "tutel_moe_layer_nobatch.py:484-498; use when "
+                        "experts are fewer than chips)")
     p.add_argument("--use_balance_loss", default=True, action="store_true")
     p.add_argument("--no_use_balance_loss", dest="use_balance_loss",
                    default=True, action="store_false")

@@ -44,7 +44,19 @@ class FilesystemDataset:
                  center_pixels: bool, chunk_paths: Sequence[Path],
                  num_chunks: int, scale_factor: int, disk_flush_size: int,
                  shuffle_chunk: bool = False,
-                 seed: int = 42):
+                 seed: int = 42,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        # process-strided feeding (the reference's DistributedSampler,
+        # runner.py:571-576): each process keeps rows [pi::pc] of every
+        # chunk — disjoint, load-balanced, and chunk writing happens once
+        # (process 0) while the others wait on the manifest.
+        import jax
+        self._process_index = (jax.process_index() if process_index is None
+                               else int(process_index))
+        self._process_count = (jax.process_count() if process_count is None
+                               else int(process_count))
+        self._global_rows = 0
         self._near = float(near)
         self._far = float(far)
         self._ray_altitude_range = (list(ray_altitude_range)
@@ -63,10 +75,14 @@ class FilesystemDataset:
                                                num_chunks, scale_factor)
         if append_path is None:
             root = Path(sorted(chunk_paths)[0])
-            root.mkdir(parents=True, exist_ok=True)
-            self._chunk_dir = root
-            self._write_chunks(metadata_items, num_chunks, scale_factor,
-                               disk_flush_size)
+            if self._process_index == 0:
+                root.mkdir(parents=True, exist_ok=True)
+                self._chunk_dir = root
+                self._write_chunks(metadata_items, num_chunks, scale_factor,
+                                   disk_flush_size)
+            else:
+                self._chunk_dir = self._wait_for_chunks(
+                    chunk_paths, metadata_items, num_chunks, scale_factor)
         else:
             self._chunk_dir = append_path
 
@@ -106,6 +122,7 @@ class FilesystemDataset:
         """Block until the prefetched chunk is ready, start the next one."""
         assert self._next_chunk is not None
         self._loaded = self._next_chunk.result()
+        self._global_rows = self._loaded.pop("_n_global")
         self._loaded_index = self._chunk_index
         self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
         self._start_prefetch()
@@ -119,6 +136,14 @@ class FilesystemDataset:
                     arrays.setdefault(k, []).append(z[k])
         out = {k: np.concatenate(v) for k, v in arrays.items()}
 
+        n_global = out["rgbs"].shape[0]
+        if self._process_count > 1:
+            # keep this process's strided share only (rays are
+            # reconstructed AFTER striding, so each host pays 1/pc of the
+            # ray math + memory)
+            sl = slice(self._process_index, None, self._process_count)
+            out = {k: v[sl] for k, v in out.items()}
+
         rgbs = out["rgbs"].astype(np.float32) / 255.0
         img_idx = out["image_indices"].astype(np.float32)
         if "rays" in out:
@@ -126,7 +151,8 @@ class FilesystemDataset:
         else:
             rays = self._reconstruct_rays(out["pixel_indices"],
                                           out["image_indices"])
-        return {"rgbs": rgbs, "rays": rays, "image_indices": img_idx}
+        return {"rgbs": rgbs, "rays": rays, "image_indices": img_idx,
+                "_n_global": n_global}
 
     def _reconstruct_rays(self, pixel_indices: np.ndarray,
                           image_indices: np.ndarray) -> np.ndarray:
@@ -163,15 +189,38 @@ class FilesystemDataset:
 
     def sample_batches(self, batch_size: int, drop_last: bool = True):
         """Iterate shuffled batches of the loaded chunk (threaded row
-        gathers via the native lib when available)."""
+        gathers via the native lib when available).
+
+        Multi-process: batch_size is the PER-PROCESS share; the number of
+        batches is derived from the chunk's global row count so every
+        process agrees on the step count without a collective.
+        """
         from switch_nerf_tpu.native import gather_rows
         n = len(self)
         order = self._rng.permutation(n)
-        stop = n - (n % batch_size) if drop_last else n
+        if self._process_count > 1:
+            stop = (self._global_rows
+                    // (batch_size * self._process_count)) * batch_size
+        else:
+            stop = n - (n % batch_size) if drop_last else n
         for i in range(0, stop, batch_size):
             idx = order[i:i + batch_size]
             yield {k: gather_rows(v, idx) if v.ndim == 2 else v[idx]
                    for k, v in self._loaded.items()}
+
+    def _wait_for_chunks(self, chunk_paths, metadata_items, num_chunks,
+                         scale_factor, timeout_s: float = 3600.0) -> Path:
+        """Non-zero processes block until process 0 publishes the manifest
+        (written last, after every part file is flushed)."""
+        import time
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            found = self._existing_chunk_dir(chunk_paths, metadata_items,
+                                             num_chunks, scale_factor)
+            if found is not None:
+                return found
+            time.sleep(1.0)
+        raise TimeoutError("process 0 never published the chunk manifest")
 
     # ----------------------------------------------------------- writing --
     def _manifest(self, metadata_items, num_chunks, scale_factor) -> Dict:

@@ -1,5 +1,5 @@
 """Validation-protocol eval (same metrics as training-time validation).
-Parity target: switch_nerf/eval.py."""
+Parity target: switch_nerf/eval.py -> Runner.eval -> _run_validation."""
 from switch_nerf_tpu.config import get_opts, parse_args
 from switch_nerf_tpu.runner import Runner
 
@@ -7,7 +7,7 @@ from switch_nerf_tpu.runner import Runner
 def main(hparams=None) -> None:
     if hparams is None:
         hparams = parse_args(get_opts())
-    Runner(hparams).eval_image()
+    Runner(hparams).eval()
 
 
 if __name__ == "__main__":

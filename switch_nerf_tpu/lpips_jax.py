@@ -132,6 +132,11 @@ def lpips_distance(img0: jnp.ndarray, img1: jnp.ndarray, net: str,
     f1 = _EXTRACTORS[net](prep(img1), weights)
     total = 0.0
     for li, (a, b) in enumerate(zip(f0, f1)):
+        if 0 in a.shape[1:3]:
+            # image too small for this tap's receptive field (only possible
+            # on tiny synthetic inputs; real eval images never hit this) —
+            # an empty spatial mean would be NaN, so skip the level.
+            continue
         d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
         lin = weights[f"lin{li}/kernel"].reshape(1, 1, -1, 1)
         val = jax.lax.conv_general_dilated(
@@ -139,6 +144,89 @@ def lpips_distance(img0: jnp.ndarray, img1: jnp.ndarray, net: str,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         total = total + jnp.mean(val)
     return total
+
+
+def _net_layer_specs(net: str):
+    """Yield (name, kh, kw, cin, cout) conv specs + tap channel widths."""
+    convs, taps = [], []
+    if net == "vgg":
+        cin, ci = 3, 0
+        for cfg in _VGG16:
+            if cfg == "M":
+                continue
+            convs.append((f"conv{ci}", 3, 3, cin, cfg))
+            if ci in _VGG_TAPS:
+                taps.append(cfg)
+            cin, ci = cfg, ci + 1
+    elif net == "alex":
+        cin, ci = 3, 0
+        for cfg in _ALEX:
+            if cfg == "M":
+                continue
+            c, k, s, p = cfg
+            convs.append((f"conv{ci}", k, k, cin, c))
+            taps.append(c)
+            cin, ci = c, ci + 1
+    elif net == "squeeze":
+        convs.append(("conv0", 3, 3, 3, 64))
+        taps.append(64)
+        cin, ci, level = 64, 1, 1
+        for sq, e1, e3 in _SQUEEZE_FIRES:
+            convs.append((f"conv{ci}", 1, 1, cin, sq))
+            convs.append((f"conv{ci+1}", 1, 1, sq, e1))
+            convs.append((f"conv{ci+2}", 3, 3, sq, e3))
+            cin = e1 + e3
+            if level in _SQUEEZE_TAPS:
+                taps.append(cin)
+            ci, level = ci + 3, level + 1
+    else:
+        raise ValueError(net)
+    return convs, taps
+
+
+@functools.lru_cache(maxsize=8)
+def substitute_weights(net: str, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Deterministic randomly-initialized backbone + uniform calibration.
+
+    Documented fallback for environments where the pretrained torchvision
+    backbones are unreachable (offline TPU pods). Zhang et al. 2018 (the
+    LPIPS paper, Table 5) show deep features of *randomly initialized*
+    networks already correlate with human perceptual judgment well above
+    classic metrics; uniform lin weights correspond to the paper's
+    'baseline' calibration. Values from this substitute are a valid
+    *relative* perceptual distance but are NOT comparable to published
+    LPIPS numbers — supply real converted weights
+    (scripts/convert_lpips_weights.py) for exact parity with the
+    reference eval protocol (switch_nerf/metrics.py:13-27).
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([hash(net) & 0xFFFF,
+                                                        seed]))
+    w: Dict[str, np.ndarray] = {}
+    convs, taps = _net_layer_specs(net)
+    for name, kh, kw, cin, cout in convs:
+        std = np.sqrt(2.0 / (kh * kw * cin))            # He init
+        w[f"{name}/kernel"] = rng.normal(
+            0.0, std, (kh, kw, cin, cout)).astype(np.float32)
+        w[f"{name}/bias"] = np.zeros(cout, np.float32)
+    for li, c in enumerate(taps):
+        w[f"lin{li}/kernel"] = np.full((1, 1, c, 1), 1.0 / c, np.float32)
+    return w
+
+
+def lpips_all_from_nets(img0: np.ndarray, img1: np.ndarray,
+                        nets: Dict[str, Dict[str, np.ndarray]]
+                        ) -> Dict[str, float]:
+    """Compute {vgg, alex, squeeze} distances from in-memory weight dicts
+    (None for nets absent from `nets`)."""
+    out = {}
+    for net in ("vgg", "alex", "squeeze"):
+        if net not in nets:
+            out[net] = None
+            continue
+        w = {k: jnp.asarray(v) for k, v in nets[net].items()}
+        out[net] = float(lpips_distance(jnp.asarray(img0),
+                                        jnp.asarray(img1), net, w))
+    return out
 
 
 @functools.lru_cache(maxsize=4)
@@ -155,13 +243,4 @@ def lpips_all(img0: np.ndarray, img1: np.ndarray, weights_path: str
               ) -> Dict[str, float]:
     """img0/img1 in [-1, 1]; returns {vgg, alex, squeeze} distances (None
     for nets missing from the weights file)."""
-    nets = _load_weights(weights_path)
-    out = {}
-    for net in ("vgg", "alex", "squeeze"):
-        if net not in nets:
-            out[net] = None
-            continue
-        w = {k: jnp.asarray(v) for k, v in nets[net].items()}
-        out[net] = float(lpips_distance(jnp.asarray(img0),
-                                        jnp.asarray(img1), net, w))
-    return out
+    return lpips_all_from_nets(img0, img1, _load_weights(weights_path))

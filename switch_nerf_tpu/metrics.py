@@ -5,11 +5,11 @@ Parity targets: switch_nerf/metrics.py:8-208 —
   * ssim / ssim_mask — the PlenOctree separable-Gaussian formulation modeled
     after tf.image.ssim (filter_size 11, sigma 1.5, k1 .01, k2 .03)
   * lpips — the reference uses the `lpips` package (pretrained VGG/Alex/
-    Squeeze). Those pretrained conv weights are not available offline in
-    this environment; `lpips()` loads JAX weights from
-    SWITCH_NERF_LPIPS_WEIGHTS (a .npz of per-layer conv kernels) when
-    provided and otherwise returns None entries, which the eval CLIs record
-    as 'n/a' — the PSNR/SSIM protocol is unaffected.
+    Squeeze). `lpips()` loads converted JAX weights from
+    SWITCH_NERF_LPIPS_WEIGHTS / weights/lpips.npz when present (exact
+    protocol parity) and otherwise falls back to the documented
+    deterministic random-init substitute (see lpips()'s docstring), so
+    eval always emits all three numbers out of the box.
 """
 from __future__ import annotations
 
@@ -124,23 +124,45 @@ def _resolve_lpips_weights() -> Optional[str]:
 
 
 def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
-    """LPIPS(vgg/alex/squeeze). Returns None entries without weights.
+    """LPIPS(vgg/alex/squeeze), always available out of the box.
 
     Reference: metrics.py:13-27 uses the lpips pip package with pretrained
-    torchvision backbones. Offline TPU environments have no pretrained
-    weights; point SWITCH_NERF_LPIPS_WEIGHTS at a converted .npz to enable.
+    torchvision backbones. With converted weights (.npz via
+    scripts/convert_lpips_weights.py, found at weights/lpips.npz or
+    SWITCH_NERF_LPIPS_WEIGHTS) this matches the reference protocol exactly.
+    Without them — pretrained backbones are unreachable on offline TPU
+    pods — it falls back to the documented substitute: deterministic
+    randomly-initialized backbones with uniform calibration
+    (lpips_jax.substitute_weights; the LPIPS paper's own 'random init'
+    rows justify this as a relative perceptual distance). Set
+    SWITCH_NERF_LPIPS_SUBSTITUTE=0 to disable the fallback and get None
+    entries instead (strict published-protocol mode).
     """
+    from switch_nerf_tpu import lpips_jax as L  # lazy import
     weights_path = _resolve_lpips_weights()
-    if weights_path is None:
-        global _warned_no_lpips
+    if weights_path is not None:
+        return L.lpips_all(np.asarray(rgbs), np.asarray(target_rgbs),
+                           weights_path)
+    global _warned_no_lpips
+    if os.environ.get("SWITCH_NERF_LPIPS_SUBSTITUTE", "1") == "0":
         if not _warned_no_lpips:
             _warned_no_lpips = True
             import logging
             logging.getLogger(__name__).warning(
-                "LPIPS weights not found (set SWITCH_NERF_LPIPS_WEIGHTS or "
-                "run scripts/convert_lpips_weights.py) — eval metrics will "
-                "OMIT lpips_vgg/alex/squeeze; PSNR/SSIM are unaffected.")
+                "LPIPS weights not found and the substitute is disabled "
+                "(SWITCH_NERF_LPIPS_SUBSTITUTE=0) — eval metrics will OMIT "
+                "lpips_vgg/alex/squeeze; PSNR/SSIM are unaffected.")
         return {"vgg": None, "alex": None, "squeeze": None}
-    from switch_nerf_tpu.lpips_jax import lpips_all  # lazy import
-    return lpips_all(np.asarray(rgbs), np.asarray(target_rgbs),
-                     weights_path)
+    if not _warned_no_lpips:
+        _warned_no_lpips = True
+        import logging
+        logging.getLogger(__name__).warning(
+            "LPIPS weights not found (set SWITCH_NERF_LPIPS_WEIGHTS or run "
+            "scripts/convert_lpips_weights.py) — using the deterministic "
+            "random-init substitute backbones (seed 0). Values are a valid "
+            "relative perceptual distance but are NOT comparable to "
+            "published LPIPS numbers.")
+    nets = {net: L.substitute_weights(net)
+            for net in ("vgg", "alex", "squeeze")}
+    return L.lpips_all_from_nets(np.asarray(rgbs), np.asarray(target_rgbs),
+                                 nets)

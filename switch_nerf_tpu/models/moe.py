@@ -208,21 +208,35 @@ class MoELayer(nn.Module):
         """
         if self.expert_axis is not None and self.ep_size > 1:
             raise NotImplementedError("EP requires dispatch mode 'padded'")
-        k, s = plan.indices.shape
-        flat_expert = plan.indices.reshape(-1)                    # [K*S]
-        order = jnp.argsort(flat_expert, stable=True)             # sorted rows
-        row_token = (order % s).astype(jnp.int32)
-        row_expert = flat_expert[order]
-        counts = jnp.bincount(flat_expert, length=self.num_experts).astype(jnp.int32)
+        from switch_nerf_tpu.ops.sorting import sort_with_payloads
 
+        k, s = plan.indices.shape
+        flat_expert = plan.indices.reshape(-1).astype(jnp.int32)  # [K*S]
         gates_flat = plan.gates.reshape(-1).astype(jnp.float32)   # [K*S]
+        iota = jnp.arange(k * s, dtype=jnp.int32)
+
+        # ONE multi-operand sort groups rows by expert and carries the
+        # original row id + gate along (sorting networks on the VPU; the
+        # argsort+fancy-index chain this replaces lowered to the
+        # dynamic-gather fusions CLAUDE.md flags as the TPU killer)
+        _, order, sorted_gates = sort_with_payloads(flat_expert, iota,
+                                                    gates_flat)
+        row_token = order % s
+        row_expert = flat_expert[order]
+        # per-expert counts as a one-hot reduction (bincount lowers to
+        # scatter-add; the one-hot sum is a single MXU-friendly reduce)
+        counts = jnp.sum(
+            jax.nn.one_hot(flat_expert, self.num_experts,
+                           dtype=jnp.float32), axis=0).astype(jnp.int32)
+
         xs = x[row_token]                                         # [K*S, M]
         if not (self.is_postscore or self.no_score):
-            xs = xs * gates_flat[order][:, None].astype(xs.dtype)
+            xs = xs * sorted_gates[:, None].astype(xs.dtype)
 
         ys = experts.ragged(xs, counts, row_expert)               # [K*S, M]
 
-        inv = jnp.argsort(order, stable=True)                     # (k*S+s) -> row
+        # inverse permutation via a second payload sort (not argsort)
+        _, inv = sort_with_payloads(order, iota)
         rows = ys.astype(jnp.float32)[inv].reshape(k, s, -1)
         scale = jnp.ones_like(plan.gates) if (self.no_score or not self.is_postscore) \
             else plan.gates

@@ -69,17 +69,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def expert_leaf_spec(path: str, leaf, num_experts: int,
-                     expert_parallel: bool) -> P:
-    """PartitionSpec for one parameter leaf (path is '/'-joined)."""
-    if (expert_parallel and _EXPERT_PATH_RE.search(path)
+                     expert_parallel: bool,
+                     weight_parallel: bool = False) -> P:
+    """PartitionSpec for one parameter leaf (path is '/'-joined).
+
+    weight_parallel is the TPU-native analog of the reference's
+    ZeRO-style expert-weight slicing (`zero_gather`/`PrimAllgather`,
+    tutel_moe_layer_nobatch.py:484-498,595-604,893-903: when experts are
+    fewer than devices, each rank keeps 1/r of the hidden dim and
+    allgathers before use): expert weight matrices additionally shard
+    their LAST (hidden/output) dim over the 'data' axis, and the XLA SPMD
+    partitioner places the weight allgather / partial-output collectives
+    — no manual gather primitives.
+    """
+    if (_EXPERT_PATH_RE.search(path)
             and hasattr(leaf, "ndim") and leaf.ndim >= 1
             and leaf.shape[0] == num_experts):
-        return P(EXPERT_AXIS)
+        first = EXPERT_AXIS if expert_parallel else None
+        if weight_parallel and leaf.ndim >= 2:
+            return P(first, *([None] * (leaf.ndim - 2)), DATA_AXIS)
+        if expert_parallel:
+            return P(EXPERT_AXIS)
     return P()
 
 
 def param_shardings(params, mesh: Mesh, num_experts: int,
-                    expert_parallel: bool):
+                    expert_parallel: bool, weight_parallel: bool = False):
     """NamedSharding tree for a parameter pytree."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -95,7 +110,7 @@ def param_shardings(params, mesh: Mesh, num_experts: int,
         return "/".join(out)
 
     specs = {path_str(kp): expert_leaf_spec(path_str(kp), v, num_experts,
-                                            expert_parallel)
+                                            expert_parallel, weight_parallel)
              for kp, v in flat}
 
     def to_sharding(kp, v):

@@ -270,15 +270,79 @@ class Runner:
         jax.sharding.set_mesh(self.mesh)
         self.batch_shard = batch_sharding(self.mesh)
         ep = not h.no_expert_parallel
-        pshard = param_shardings(state.params, self.mesh, h.moe_expert_num, ep)
-        return state.replace(params=jax.device_put(state.params, pshard))
+        pshard = param_shardings(
+            state.params, self.mesh, h.moe_expert_num, ep,
+            weight_parallel=getattr(h, "expert_weight_parallel", False))
+        state = state.replace(params=jax.device_put(state.params, pshard))
+        if jax.process_count() > 1:
+            # multi-controller SPMD: the non-param state must also be
+            # global jax.Arrays (replicated over the mesh), or jit/donation
+            # would see process-local arrays
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            state = state.replace(
+                step=jax.device_put(np.asarray(state.step), repl),
+                rng=jax.device_put(np.asarray(state.rng), repl),
+                opt_state=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x), repl),
+                    state.opt_state))
+        return state
 
-    def _put_batch(self, batch: Dict[str, np.ndarray]):
-        n = batch["rays"].shape[0]
-        total = self.mesh.size
-        if n % total:
-            raise ValueError(f"batch size {n} not divisible by mesh {total}")
-        return jax.device_put(batch, {k: self.batch_shard for k in batch})
+    def _put_batch(self, batch: Dict[str, np.ndarray], local: bool = False):
+        """Device-put a batch sharded over the global mesh.
+
+        Single-process: device_put the host-global batch. Multi-process
+        SPMD (the reference's DistributedSampler per-rank feeding,
+        runner.py:571-576): each process transfers only the rows its
+        addressable devices own, assembled into one global jax.Array via
+        jax.make_array_from_process_local_data. With local=False every
+        process holds the same deterministic host-global batch and slices
+        its share; with local=True the batch is already the per-process
+        share (process-strided FilesystemDataset feeding).
+        """
+        if jax.process_count() == 1:
+            n = batch["rays"].shape[0]
+            total = self.mesh.size
+            if n % total:
+                raise ValueError(
+                    f"batch size {n} not divisible by mesh {total}")
+            return jax.device_put(batch,
+                                  {k: self.batch_shard for k in batch})
+
+        pc = jax.process_count()
+
+        def put_one(arr: np.ndarray):
+            arr = np.asarray(arr)
+            rows = arr.shape[0] * pc if local else arr.shape[0]
+            gshape = (rows,) + arr.shape[1:]
+            if local:
+                local_arr = arr
+            else:
+                lo, hi = self._local_batch_rows(gshape)
+                local_arr = arr[lo:hi]
+            return jax.make_array_from_process_local_data(
+                self.batch_shard, local_arr, gshape)
+
+        return {k: put_one(v) for k, v in batch.items()}
+
+    def _local_batch_rows(self, global_shape) -> Tuple[int, int]:
+        """[lo, hi) global-row range owned by this process's devices under
+        the batch sharding (contiguous by mesh construction: device order
+        is process-major along the flattened data axis)."""
+        imap = self.batch_shard.addressable_devices_indices_map(
+            tuple(global_shape))
+        spans = sorted((s[0].start or 0,
+                        global_shape[0] if s[0].stop is None else s[0].stop)
+                       for s in imap.values())
+        lo = spans[0][0]
+        hi = spans[0][1]
+        for s, e in spans[1:]:
+            if s != hi:
+                raise ValueError(
+                    "process-local batch rows are not contiguous; use a "
+                    "process-major mesh device order")
+            hi = e
+        return lo, hi
 
     # ------------------------------------------------------------ train ---
     def train(self):
@@ -292,7 +356,7 @@ class Runner:
                  f"{count_parameters(state.params)/1024/1024:.4f} M")
 
         dataset_state, discard_index = None, -1
-        if h.ckpt_path is not None:
+        if h.ckpt_path is not None and jax.process_count() == 1:
             state, extra = load_checkpoint(h.ckpt_path, state,
                                            h.resume_ckpt_state)
             dataset_state = extra.get("dataset_state")
@@ -301,6 +365,15 @@ class Runner:
             main_log(f"Resumed from iteration {int(state.step)}")
 
         state = self._setup_device(state)
+        if h.ckpt_path is not None and jax.process_count() > 1:
+            # multi-process: restore AFTER sharding so orbax lands each
+            # leaf directly on its target shards (no full tree per host)
+            state, extra = load_checkpoint(h.ckpt_path, state,
+                                           h.resume_ckpt_state)
+            dataset_state = extra.get("dataset_state")
+            discard_index = extra.get("dataset_index", -1) \
+                if h.resume_ckpt_state else -1
+            main_log(f"Resumed from iteration {int(state.step)}")
         train_step = jax.jit(make_train_step(
             self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip),
             donate_argnums=0)
@@ -341,6 +414,22 @@ class Runner:
         train_iterations = int(state.step)
         rng_np = np.random.default_rng(h.random_seed + train_iterations)
         t_start = time.time()
+        # data_sample_time / fwd_bwd_time per print window
+        # (reference runner.py:581-595). Device steps are async; the
+        # float() sync at print time lands compute cost in fwd_bwd.
+        data_time_acc = 0.0
+
+        # filesystem datasets stride rows per process -> batches are the
+        # per-process share, fed via _put_batch(local=True); the memory
+        # dataset samples the identical global batch on every process and
+        # _put_batch slices it (same loss trajectory as single-process)
+        local_feed = (h.dataset_type == "filesystem"
+                      and jax.process_count() > 1)
+        if local_feed and h.batch_size % jax.process_count():
+            raise ValueError(f"batch_size {h.batch_size} not divisible by "
+                             f"process count {jax.process_count()}")
+        feed_bs = (h.batch_size // jax.process_count() if local_feed
+                   else h.batch_size)
 
         while train_iterations < h.train_iterations:
             if h.dataset_type == "filesystem":
@@ -348,27 +437,41 @@ class Runner:
                 dataset.load_chunk()
                 main_log(f"Chunk {dataset.get_state()} loaded in "
                          f"{time.time()-chunk_t:.2f} s")
-                batches = dataset.sample_batches(h.batch_size)
+                batches = dataset.sample_batches(feed_bs)
             else:
                 def memory_batches():
                     while True:
                         yield dataset.sample_batch(rng_np, h.batch_size)
                 batches = memory_batches()
 
-            for dataset_index, batch in enumerate(batches):
+            batches = iter(enumerate(batches))
+            while True:
+                t_data = time.perf_counter()
+                try:
+                    dataset_index, batch = next(batches)
+                except StopIteration:
+                    break
                 if dataset_index <= discard_index:
                     continue
                 discard_index = -1
                 batch = {k: np.asarray(v, np.float32)
                          for k, v in batch.items()}
-                state, m = train_step(state, self._put_batch(batch))
+                batch = self._put_batch(batch, local=local_feed)
+                data_time_acc += time.perf_counter() - t_data
+                state, m = train_step(state, batch)
                 train_iterations += 1
 
                 if train_iterations % h.i_print == 0:
                     m_host = {k: float(v) for k, v in m.items()}
                     meter.update(m_host)
-                    rate = h.i_print * h.batch_size / max(
-                        time.time() - t_start, 1e-9) if train_iterations > h.i_print else 0.0
+                    window = time.time() - t_start
+                    warm = train_iterations > h.i_print
+                    rate = h.i_print * h.batch_size / max(window, 1e-9) \
+                        if warm else 0.0
+                    m_host["data_sample_time"] = data_time_acc / h.i_print
+                    m_host["fwd_bwd_time"] = max(
+                        window - data_time_acc, 0.0) / h.i_print
+                    data_time_acc = 0.0
                     main_log(f"iter {train_iterations} "
                              + " ".join(f"{k}={v:.4f}"
                                         for k, v in m_host.items())
@@ -449,6 +552,11 @@ class Runner:
         state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
                                    {})
         assert h.ckpt_path is not None, "--ckpt_path required for eval"
+        if jax.process_count() > 1:
+            state = self._setup_device(state)
+            state, _ = load_checkpoint(h.ckpt_path, state,
+                                       restore_rng_states=False)
+            return state
         state, _ = load_checkpoint(h.ckpt_path, state,
                                    restore_rng_states=False)
         return self._setup_device(state)
@@ -509,9 +617,72 @@ class Runner:
         h, w = metadata.H, metadata.W
         return {k: v.reshape(h, w, *v.shape[1:]) for k, v in res.items()}
 
+    def _val_indices(self, n: int) -> np.ndarray:
+        """Process-strided image assignment for multi-host eval
+        (reference runner.py:1276-1282: RANK/WORLD_SIZE striding)."""
+        return np.arange(jax.process_index(), n, jax.process_count())
+
+    @staticmethod
+    def _peak_memory_mib() -> float:
+        """Max peak device memory across local devices, MiB. Analog of
+        torch.cuda.max_memory_allocated (reference runner.py:1440,1449);
+        deviation: XLA exposes no per-window reset, so this is the peak
+        since process start, monotone across images."""
+        from switch_nerf_tpu.parallel.host import device_memory_stats
+        stats = device_memory_stats()
+        return max((v.get("peak_bytes_in_use_mib", 0.0)
+                    for v in stats.values() if v), default=0.0)
+
+    def _image_metrics_half(self, pred: np.ndarray, gt: np.ndarray
+                            ) -> Dict[str, float]:
+        """Right-half PSNR/SSIM/LPIPS (reference runner.py:1296-1333)."""
+        half = gt.shape[1] // 2
+        pred_r, gt_r = pred[:, half:], gt[:, half:]
+        out = {"psnr": M.psnr(jnp.asarray(pred_r), jnp.asarray(gt_r)),
+               "ssim": M.ssim(pred_r, gt_r, 1.0)}
+        for k, v in M.lpips(pred_r * 2 - 1, gt_r * 2 - 1).items():
+            if v is not None:
+                out[f"lpips-{k}"] = v
+        return out
+
+    def _run_validation(self, state, train_index: Optional[int] = None
+                        ) -> Dict[str, float]:
+        """Validation-protocol eval (reference runner.py:1263-1404):
+        right-half PSNR/SSIM/LPIPS per val image, logged per-image to the
+        writer as val/<metric>/<i>; no per-image time/memory files (that is
+        _run_validation_image's job). Multi-process runs stride the image
+        list; means are aggregated across processes (reference
+        runner.py:1382-1397's tmp-file + barrier protocol becomes one
+        host allgather of meter sums)."""
+        if train_index is None:
+            train_index = int(state.step)
+        render_chunks = self._make_render_fn(state)
+        meter = DictAverageMeter()
+        for i in self._val_indices(len(self.val_items)):
+            metadata = self.val_items[int(i)]
+            results = self.render_image(metadata, render_chunks)
+            typ = "fine" if "rgb_fine" in results else "coarse"
+            pred = np.clip(results[f"rgb_{typ}"], 0.0, 1.0)
+            gt = metadata.load_image().astype(np.float32) / 255.0
+            img_metrics = self._image_metrics_half(pred, gt)
+            meter.update(img_metrics)
+            if self.writer is not None:
+                for k, v in img_metrics.items():
+                    self.writer.add_scalar(f"val/{k}/{i}", v, train_index)
+            main_log(f"val image {i}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in img_metrics.items()))
+        means = {f"val/{k}": v
+                 for k, v in meter.mean_across_processes().items()}
+        if self.writer is not None:
+            for k, v in means.items():
+                self.writer.add_scalar(f"{k}/avg", v, train_index)
+        main_log("val means: " + " ".join(f"{k}={v:.4f}"
+                                          for k, v in means.items()))
+        return means
+
     def _run_validation_image(self, state) -> Dict[str, float]:
-        """Right-half val-image protocol (runner.py:1406-1607)."""
-        hp = self.hparams
+        """Right-half val-image protocol with per-image time/memory and
+        image/metrics files (runner.py:1406-1607)."""
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
         out_dir = (self.experiment_path / f"val_{int(state.step)}"
@@ -519,7 +690,8 @@ class Runner:
         if out_dir is not None:
             out_dir.mkdir(parents=True, exist_ok=True)
 
-        for i, metadata in enumerate(self.val_items):
+        for i in self._val_indices(len(self.val_items)):
+            metadata = self.val_items[int(i)]
             t0 = time.time()
             results = self.render_image(metadata, render_chunks)
             render_time = time.time() - t0
@@ -527,26 +699,24 @@ class Runner:
             pred = np.clip(results[f"rgb_{typ}"], 0.0, 1.0)
             gt = metadata.load_image().astype(np.float32) / 255.0
 
-            half = metadata.W // 2
-            pred_r, gt_r = pred[:, half:], gt[:, half:]
-            img_metrics = {
-                "psnr": M.psnr(jnp.asarray(pred_r), jnp.asarray(gt_r)),
-                "ssim": M.ssim(pred_r, gt_r, 1.0),
-                "render_time": render_time,
-            }
-            lp = M.lpips(pred_r * 2 - 1, gt_r * 2 - 1)
-            for k, v in lp.items():
-                if v is not None:
-                    img_metrics[f"lpips_{k}"] = v
+            img_metrics = self._image_metrics_half(pred, gt)
+            # reference metrics_{i}.txt field set (runner.py:1513-1522):
+            # psnr, ssim, lpips-*, time, memory
+            img_metrics["time"] = render_time
+            img_metrics["memory"] = self._peak_memory_mib()
             meter.update(img_metrics)
+            if self.writer is not None:
+                for k, v in img_metrics.items():
+                    self.writer.add_scalar(f"val/{k}/{i}", v,
+                                           int(state.step))
             main_log(f"val image {i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
 
             if out_dir is not None:
-                self._write_val_outputs(out_dir, i, gt, pred, results, typ,
-                                        img_metrics)
+                self._write_val_outputs(out_dir, int(i), gt, pred, results,
+                                        typ, img_metrics)
 
-        means = meter.mean()
+        means = meter.mean_across_processes()
         main_log("val means: " + " ".join(f"{k}={v:.4f}"
                                           for k, v in means.items()))
         if out_dir is not None:
@@ -554,21 +724,45 @@ class Runner:
                 "\n".join(f"{k}: {v}" for k, v in means.items()))
         return means
 
-    def _write_val_outputs(self, out_dir: Path, idx: int, gt, pred, results,
-                           typ, img_metrics):
+    @staticmethod
+    def _save_triptych(path: Path, gt, pred, depth=None):
         from PIL import Image
-        trip = [gt, pred]
-        if f"depth_{typ}" in results:
-            trip.append(visualize_scalars(
-                results[f"depth_{typ}"]).astype(np.float32) / 255.0)
+        trip = [gt, np.clip(pred, 0.0, 1.0)]
+        if depth is not None:
+            trip.append(visualize_scalars(depth).astype(np.float32) / 255.0)
         img = np.concatenate(
             [np.asarray(t[..., :3]) for t in trip], axis=1)
-        Image.fromarray((img * 255).astype(np.uint8)).save(
-            out_dir / f"{idx:03d}.jpg")
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+
+    def _write_val_outputs(self, out_dir: Path, idx: int, gt, pred, results,
+                           typ, img_metrics):
+        self._save_triptych(out_dir / f"{idx:03d}.jpg", gt, pred,
+                            results.get(f"depth_{typ}"))
         (out_dir / f"{idx:03d}.txt").write_text(
             "\n".join(f"{k}: {v}" for k, v in img_metrics.items()))
+        # bg/fg decomposition images (reference runner.py:1355-1379): when
+        # the render carries the split, save gt|bg and gt|fg triptychs.
+        bg_typ = typ if f"bg_rgb_{typ}" in results else "coarse"
+        if f"bg_rgb_{bg_typ}" in results:
+            self._save_triptych(out_dir / f"{idx:03d}_bg.jpg", gt,
+                                results[f"bg_rgb_{bg_typ}"],
+                                results.get(f"bg_depth_{bg_typ}"))
+        if f"fg_rgb_{typ}" in results:
+            self._save_triptych(out_dir / f"{idx:03d}_fg.jpg", gt,
+                                results[f"fg_rgb_{typ}"],
+                                results.get(f"fg_depth_{typ}"))
 
     # ------------------------------------------- public eval entrypoints --
+    def eval(self):
+        """Validation-protocol eval (reference eval.py -> Runner.eval ->
+        _run_validation, runner.py:958-965)."""
+        state = self._load_eval_state()
+        means = self._run_validation(state, 0)
+        if self.experiment_path is not None and jax.process_index() == 0:
+            (self.experiment_path / "metrics.txt").write_text(
+                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        return means
+
     def eval_image(self):
         state = self._load_eval_state()
         return self._run_validation_image(state)

@@ -265,7 +265,10 @@ def make_eval_step(model, bg_model, hparams, render_cfg: RenderConfig,
                            render_cfg, scene.sphere_center,
                            scene.sphere_radius, rng, train=False,
                            get_depth=True, model_fn_fine=model_fn_fine,
-                           bg_model_fn_fine=bg_fn_fine)
+                           bg_model_fn_fine=bg_fn_fine,
+                           # fg/bg decomposition for the eval viz protocol
+                           # (reference render_image, runner.py:2874)
+                           get_bg_fg_rgb=True)
     return eval_step
 
 

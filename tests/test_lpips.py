@@ -96,3 +96,40 @@ def test_lpips_all_from_npz(tmp_path):
     res = L.lpips_all(img0, img1, str(path))
     assert np.isfinite(res["vgg"]) and np.isfinite(res["alex"])
     assert res["squeeze"] is None  # net absent from the file
+
+
+@pytest.mark.parametrize("net", ["vgg", "alex", "squeeze"])
+def test_substitute_weights_deterministic(net):
+    w1 = L.substitute_weights(net)
+    L.substitute_weights.cache_clear()
+    w2 = L.substitute_weights(net)
+    assert set(w1) == set(w2)
+    for k in w1:
+        np.testing.assert_array_equal(w1[k], w2[k])
+    # lin layers are the uniform 'baseline' calibration
+    lin0 = w1["lin0/kernel"]
+    assert np.allclose(lin0, 1.0 / lin0.shape[2])
+
+
+def test_metrics_lpips_substitute_fallback(monkeypatch):
+    """Without a weights file, metrics.lpips emits all three numbers via
+    the documented substitute; SWITCH_NERF_LPIPS_SUBSTITUTE=0 restores the
+    strict None behaviour (VERDICT round-1 item 4)."""
+    from switch_nerf_tpu import metrics as M
+    monkeypatch.delenv("SWITCH_NERF_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setattr(M, "_LPIPS_DEFAULT_PATH", "/nonexistent/lpips.npz")
+    rng = np.random.default_rng(2)
+    img0 = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
+    img1 = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
+
+    res = M.lpips(img0, img1)
+    assert set(res) == {"vgg", "alex", "squeeze"}
+    for v in res.values():
+        assert v is not None and np.isfinite(v) and v > 0
+    same = M.lpips(img0, img0)
+    for v in same.values():
+        assert v == pytest.approx(0.0, abs=1e-6)
+
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_SUBSTITUTE", "0")
+    strict = M.lpips(img0, img1)
+    assert all(v is None for v in strict.values())

@@ -1,0 +1,76 @@
+"""2-process CPU distributed training test (VERDICT r1 item 5).
+
+Spawns two real OS processes joined via jax.distributed over localhost,
+each owning 4 virtual CPU devices of a global 8-device ('data','expert')
+mesh, and trains the tiny Building-style NeRFMoE for 10 steps through the
+production per-process feeding path (Runner._put_batch ->
+jax.make_array_from_process_local_data). The loss trajectory must equal a
+single-process run on the same global mesh, and a sharded orbax
+checkpoint must round-trip.
+
+Reference analog: DistributedSampler feeding + NCCL process groups
+(reference runner.py:571-576, tutel_communicate_nobatch.py:160-263).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = Path(__file__).parent / "multihost_worker.py"
+_ROOT = Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env() -> dict:
+    env = dict(os.environ)
+    # the worker sets its own platform/device-count flags
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    return env
+
+
+def _run_workers(nproc: int, ckpt_dir: Path) -> dict:
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(_WORKER), str(pid), str(nproc), str(port),
+         str(ckpt_dir)],
+        env=_clean_env(), cwd=str(_ROOT),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker rc={p.returncode}:\n{out}"
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    raise AssertionError("no RESULT line:\n" + "\n".join(outs))
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    ref = _run_workers(1, tmp_path / "ckpt1")
+    dist = _run_workers(2, tmp_path / "ckpt2")
+
+    assert ref["ckpt_ok"], "single-process sharded ckpt round-trip failed"
+    assert dist["ckpt_ok"], "2-process sharded ckpt round-trip failed"
+    # same global batches + same global mesh => same loss trajectory
+    np.testing.assert_allclose(np.asarray(dist["losses"]),
+                               np.asarray(ref["losses"]),
+                               rtol=2e-5, atol=2e-6)
+    # training actually progressed
+    assert dist["losses"][-1] < dist["losses"][0]

@@ -86,7 +86,8 @@ def make_batch(rng, n=32, radii=False):
     return batch
 
 
-def run_steps(h, mesh_shape=(8, 1), n_steps=2, mip=False, bg=False):
+def run_steps(h, mesh_shape=(8, 1), n_steps=2, mip=False, bg=False,
+              weight_parallel=False):
     model = get_nerf(h, appearance_count=4)
     bg_model = get_bg_nerf(h, appearance_count=4) if bg else None
     state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
@@ -100,7 +101,8 @@ def run_steps(h, mesh_shape=(8, 1), n_steps=2, mip=False, bg=False):
     jax.sharding.set_mesh(mesh)
     bs = batch_sharding(mesh)
     ep = not h.no_expert_parallel
-    pshard = param_shardings(state.params, mesh, h.moe_expert_num, ep)
+    pshard = param_shardings(state.params, mesh, h.moe_expert_num, ep,
+                             weight_parallel=weight_parallel)
     state = state.replace(params=jax.device_put(state.params, pshard))
 
     jstep = jax.jit(step)
@@ -220,3 +222,33 @@ def test_mesh_split_invariance():
     for shape, val in losses.items():
         np.testing.assert_allclose(val, base, rtol=1e-5,
                                    err_msg=f"mesh {shape} diverged")
+
+
+def test_expert_weight_parallel_invariance():
+    """MP/TP: sharding expert weight matrices' hidden dim over the 'data'
+    axis (the reference's zero_gather slicing for E < devices,
+    tutel_moe_layer_nobatch.py:484-498) is a layout choice — metrics must
+    match the replicated-weight run, and the weights must actually be
+    sharded on the data axis."""
+    h = tiny_hparams(use_moe=True, use_moe_external_gate=True,
+                     moe_expert_num=4, moe_train_batch=True)
+    h.no_expert_parallel = False
+    h.model = tiny_moe_graph()
+
+    state_r, m_ref = run_steps(h, mesh_shape=(4, 2), n_steps=1)
+    state_w, m_wp = run_steps(h, mesh_shape=(4, 2), n_steps=1,
+                              weight_parallel=True)
+    np.testing.assert_allclose(
+        (float(m_wp["loss"]), float(m_wp["gate_loss"])),
+        (float(m_ref["loss"]), float(m_ref["gate_loss"])), rtol=1e-5)
+
+    flat = jax.tree_util.tree_flatten_with_path(state_w.params["nerf"])[0]
+    found = False
+    for kp, leaf in flat:
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        if "experts" in path and leaf.ndim >= 2:
+            spec = leaf.sharding.spec
+            if len(spec) == leaf.ndim and spec[0] == "expert" \
+                    and spec[-1] == "data":
+                found = True
+    assert found, "no expert weight sharded (expert, ..., data)"

@@ -1,0 +1,115 @@
+"""Profile the benchmark train step and print an hlo_category time table.
+
+    python tools/profile_step.py [--steps=5] [--no-bg]
+
+Runs the exact bench.py workload under jax.profiler.trace, parses the
+*.trace.json.gz device track (tid 3 = leaf ops), and aggregates device op
+time by HLO category — the repeatable version of the round-1 ad-hoc
+profiling (CLAUDE.md perf notes). Use ONE at a time: the axon
+remote-compile service serializes big requests.
+"""
+import glob
+import gzip
+import json
+import pathlib
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def build_step(bg: bool):
+    from __graft_entry__ import _building_hparams, _make_batch
+    from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
+    from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
+                                         make_train_step,
+                                         render_config_from_hparams)
+    h = _building_hparams(tiny=False)
+    h.coarse_samples, h.fine_samples = 256, 512
+    h.model_chunk_size = 16384
+    h.batch_size = 1024
+    h.train_iterations = 500000
+    h.bg_nerf = bg
+    model = get_nerf(h, appearance_count=8)
+    bg_model = get_bg_nerf(h, 8) if bg else None
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    cfg = render_config_from_hparams(h)
+    step = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
+                   donate_argnums=0)
+    batch = _make_batch(h, h.batch_size)
+    return step, state, batch
+
+
+def parse_trace(trace_dir: str):
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, f"no trace under {trace_dir}"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # find the device pid (process named like 'TPU' / device ordinal)
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name or "/device:" in name.lower() \
+                    or name.startswith("(pid"):
+                dev_pids.add(e["pid"])
+    cat_time = defaultdict(float)
+    op_time = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("tid") != 3:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        dur = e.get("dur", 0) / 1e6           # seconds
+        cat = e.get("args", {}).get("hlo_category", "?")
+        cat_time[cat] += dur
+        op_time[e.get("name", "?")] += dur
+        total += dur
+    return cat_time, op_time, total
+
+
+def main():
+    steps = 5
+    bg = True
+    for a in sys.argv[1:]:
+        if a.startswith("--steps="):
+            steps = int(a.split("=")[1])
+        if a == "--no-bg":
+            bg = False
+
+    step, state, batch = build_step(bg)
+    state, metrics = step(state, batch)
+    float(metrics["loss"])                     # real sync through the tunnel
+
+    trace_dir = tempfile.mkdtemp(prefix="switchnerf_trace_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+    wall = (time.perf_counter() - t0) / steps
+    print(f"bg={bg} steps={steps} wall/step={wall*1000:.1f} ms "
+          f"({1024/wall:.0f} rays/s/chip)")
+
+    cat_time, op_time, total = parse_trace(trace_dir)
+    print(f"\ndevice time by hlo_category (total {total*1000:.1f} ms "
+          f"over {steps} steps):")
+    for cat, t in sorted(cat_time.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:32s} {t*1000:9.1f} ms  {100*t/total:5.1f}%")
+    print("\ntop 15 ops:")
+    for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {name[:72]:72s} {t*1000:8.1f} ms")
+    print(f"\ntrace dir: {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()
