@@ -419,12 +419,12 @@ class Runner:
         # float() sync at print time lands compute cost in fwd_bwd.
         data_time_acc = 0.0
 
-        # filesystem datasets stride rows per process -> batches are the
-        # per-process share, fed via _put_batch(local=True); the memory
-        # dataset samples the identical global batch on every process and
-        # _put_batch slices it (same loss trajectory as single-process)
-        local_feed = (h.dataset_type == "filesystem"
-                      and jax.process_count() > 1)
+        # datasets that stride rows per process (FilesystemDataset) yield
+        # the per-process share, fed via _put_batch(local=True); the others
+        # (memory, block) produce the identical global batch on every
+        # process and _put_batch slices it (same loss trajectory as
+        # single-process)
+        local_feed = (getattr(dataset, "_process_count", 1) > 1)
         if local_feed and h.batch_size % jax.process_count():
             raise ValueError(f"batch_size {h.batch_size} not divisible by "
                              f"process count {jax.process_count()}")
