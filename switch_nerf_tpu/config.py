@@ -77,6 +77,10 @@ def get_opts_base() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--image_pixel_batch_size", type=int, default=64 * 1024)
     p.add_argument("--model_chunk_size", type=int, default=32 * 1024)
+    p.add_argument("--bg_model_chunk_size", type=int, default=None,
+                   help="chunk size for the dense background pass "
+                        "(defaults to model_chunk_size; larger is usually "
+                        "faster since the bg model has no routing)")
     p.add_argument("--perturb", type=float, default=1.0)
     p.add_argument("--noise_std", type=float, default=1.0)
 
@@ -115,6 +119,11 @@ def get_opts_base() -> argparse.ArgumentParser:
                    help="shard experts over the mesh 'expert' axis "
                         "(reference: --no_expert_parallel default True)")
     p.add_argument("--no_expert_parallel", default=True, action="store_true")
+    p.add_argument("--shard_optimizer_states", default=False,
+                   action="store_true",
+                   help="ZeRO-1-style sharding of optimizer moments over "
+                        "the 'data' mesh axis (GSPMD; numerics-invariant). "
+                        "Expert moments always follow the expert sharding.")
     p.add_argument("--expert_weight_parallel", default=False,
                    action="store_true",
                    help="additionally shard expert weight matrices' hidden "

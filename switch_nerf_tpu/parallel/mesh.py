@@ -119,6 +119,58 @@ def param_shardings(params, mesh: Mesh, num_experts: int,
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def opt_state_shardings(opt_state, mesh: Mesh, num_experts: int,
+                        expert_parallel: bool,
+                        weight_parallel: bool = False,
+                        zero_data_axis: bool = False):
+    """NamedSharding tree for an optimizer-state pytree.
+
+    Adam moments mirror the parameter tree inside their state, so the same
+    path-regex + shape rules shard expert moments over the 'expert' axis
+    (and the hidden dim over 'data' under weight_parallel). With
+    zero_data_axis=True, every remaining float tensor additionally shards
+    its dim 0 over 'data' — ZeRO-1 semantics realised by GSPMD (per-shard
+    moment update, XLA inserts the update allgather); the reference never
+    enables its ZeRO path (zero_gather unused by all published configs),
+    so this is an opt-in TPU extension, numerics-invariant because the
+    Adam update is elementwise.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+
+    def path_str(kp):
+        out = []
+        for k in kp:
+            if hasattr(k, "key"):
+                out.append(str(k.key))
+            elif hasattr(k, "idx"):
+                out.append(str(k.idx))
+            elif hasattr(k, "name"):
+                out.append(str(k.name))
+            else:
+                out.append(str(k))
+        return "/".join(out)
+
+    def leaf_spec(path, leaf):
+        spec = expert_leaf_spec(path, leaf, num_experts, expert_parallel,
+                                weight_parallel)
+        if (zero_data_axis and spec == P()
+                and hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                # device_put needs exact divisibility (unlike in-jit
+                # constraints, there is no padding); skip odd-sized leaves
+                and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0):
+            return P(DATA_AXIS)
+        return spec
+
+    specs = {path_str(kp): leaf_spec(path_str(kp), v) for kp, v in flat}
+
+    def to_sharding(kp, v):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, opt_state)
+
+
 def shard_constraint(x, spec: P):
     """with_sharding_constraint that degrades to identity when no mesh is
     active (unit tests / single-chip paths).

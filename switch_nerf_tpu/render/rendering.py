@@ -46,6 +46,10 @@ class RenderConfig:
     use_sigma_noise: bool = False
     sigma_noise_std: float = 1.0
     use_mip: bool = False
+    bg_model_chunk_size: Optional[int] = None  # dense bg pass chunk size
+    # (defaults to model_chunk_size; the dense bg MLP has no routing
+    # sorts, so larger chunks amortize scan overhead without the MoE
+    # capacity-semantics constraint)
     sh_deg: Optional[int] = None               # spherical-harmonics color
     rgb_padding: Optional[float] = None        # mip only
     weights_resample_padding: float = 0.01     # mip only
@@ -390,6 +394,9 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
     half fine samples, flip ordering."""
     bg_model_fn, bg_model_fn_fine = bg_model_fns
     bg_model_fn_fine = bg_model_fn_fine or bg_model_fn
+    if cfg.bg_model_chunk_size:
+        cfg = dataclasses.replace(
+            cfg, model_chunk_size=cfg.bg_model_chunk_size)
     r_perturb, r_fine, r_model_c, r_model_f = rngs
     n_rays = rays_o3.shape[0]
     perturb = cfg.perturb if train else 0.0

@@ -270,10 +270,22 @@ class Runner:
         jax.sharding.set_mesh(self.mesh)
         self.batch_shard = batch_sharding(self.mesh)
         ep = not h.no_expert_parallel
-        pshard = param_shardings(
-            state.params, self.mesh, h.moe_expert_num, ep,
-            weight_parallel=getattr(h, "expert_weight_parallel", False))
+        wp = getattr(h, "expert_weight_parallel", False)
+        pshard = param_shardings(state.params, self.mesh, h.moe_expert_num,
+                                 ep, weight_parallel=wp)
         state = state.replace(params=jax.device_put(state.params, pshard))
+        # optimizer moments follow the parameter shardings (expert moments
+        # over 'expert'); --shard_optimizer_states adds ZeRO-1-style 'data'
+        # sharding of the remaining float moments
+        from switch_nerf_tpu.parallel.mesh import opt_state_shardings
+        oshard = opt_state_shardings(
+            state.opt_state, self.mesh, h.moe_expert_num, ep,
+            weight_parallel=wp,
+            zero_data_axis=getattr(h, "shard_optimizer_states", False))
+        state = state.replace(
+            opt_state=jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(np.asarray(x), s),
+                state.opt_state, oshard))
         if jax.process_count() > 1:
             # multi-controller SPMD: the non-param state must also be
             # global jax.Arrays (replicated over the mesh), or jit/donation
@@ -282,10 +294,7 @@ class Runner:
             repl = NamedSharding(self.mesh, PartitionSpec())
             state = state.replace(
                 step=jax.device_put(np.asarray(state.step), repl),
-                rng=jax.device_put(np.asarray(state.rng), repl),
-                opt_state=jax.tree_util.tree_map(
-                    lambda x: jax.device_put(np.asarray(x), repl),
-                    state.opt_state))
+                rng=jax.device_put(np.asarray(state.rng), repl))
         return state
 
     def _put_batch(self, batch: Dict[str, np.ndarray], local: bool = False):

@@ -82,6 +82,7 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
         fine_samples=hparams.fine_samples,
         perturb=hparams.perturb,
         model_chunk_size=hparams.model_chunk_size,
+        bg_model_chunk_size=getattr(hparams, "bg_model_chunk_size", None),
         pos_dir_dim=hparams.pos_dir_dim,
         use_cascade=hparams.use_cascade,
         white_bkgd=hparams.white_bkgd,

@@ -224,6 +224,49 @@ def test_mesh_split_invariance():
                                    err_msg=f"mesh {shape} diverged")
 
 
+def test_zero_optimizer_sharding_invariance():
+    """ZeRO-1-style optimizer-moment sharding over the 'data' axis (plus
+    expert moments over 'expert') is numerics-invariant: one training step
+    must produce the same metrics as the replicated-state run, and the
+    moments must actually be sharded."""
+    from switch_nerf_tpu.parallel.mesh import opt_state_shardings
+
+    h = tiny_hparams(use_moe=True, use_moe_external_gate=True,
+                     moe_expert_num=4, moe_train_batch=True)
+    h.no_expert_parallel = False
+    h.model = tiny_moe_graph()
+
+    model = get_nerf(h, appearance_count=4)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    cfg = render_config_from_hparams(h)
+    step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()))
+    mesh = create_mesh((4, 2))
+    jax.sharding.set_mesh(mesh)
+    bs = batch_sharding(mesh)
+    pshard = param_shardings(state.params, mesh, h.moe_expert_num, True)
+    batch = make_batch(jax.random.PRNGKey(1), n=h.batch_size)
+    batch = jax.device_put(batch, {k: bs for k in batch})
+
+    base = state.replace(params=jax.device_put(state.params, pshard))
+    _, m_ref = step(base, batch)
+
+    oshard = opt_state_shardings(state.opt_state, mesh, h.moe_expert_num,
+                                 True, zero_data_axis=True)
+    sharded = base.replace(opt_state=jax.tree_util.tree_map(
+        jax.device_put, state.opt_state, oshard))
+    new_state, m_z = step(sharded, batch)
+
+    np.testing.assert_allclose(float(m_z["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    specs = [l.sharding.spec for l in
+             jax.tree_util.tree_leaves(new_state.opt_state)
+             if hasattr(l, "sharding") and l.ndim >= 2]
+    assert any(len(s) > 0 and s[0] == "data" for s in specs), \
+        "no optimizer moment sharded over the data axis"
+    assert any(len(s) > 0 and s[0] == "expert" for s in specs), \
+        "no expert moment sharded over the expert axis"
+
+
 def test_expert_weight_parallel_invariance():
     """MP/TP: sharding expert weight matrices' hidden dim over the 'data'
     axis (the reference's zero_gather slicing for E < devices,
