@@ -32,6 +32,10 @@ from switch_nerf_tpu.ops.volume import (
 
 ModelFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
 
+# chunk-scan unroll factor (module-level experiment knob; 1 measured best
+# on v5e — see STATUS.md perf notes)
+_SCAN_UNROLL = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -105,7 +109,8 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
         def body(carry, x):
             pts, crng = x
             return carry, one_chunk(pts, crng)
-        _, (outs, moe_losses) = jax.lax.scan(body, None, (xs, chunk_rngs))
+        _, (outs, moe_losses) = jax.lax.scan(body, None, (xs, chunk_rngs),
+                                             unroll=_SCAN_UNROLL)
 
     outputs = outs.reshape(n_chunks * chunk, -1)[:p]
     return outputs, moe_losses

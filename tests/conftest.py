@@ -21,6 +21,11 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process spawns)")
+
+
 @pytest.fixture(autouse=True, scope="session")
 def _assert_cpu():
     assert jax.devices()[0].platform == "cpu", (

@@ -48,33 +48,51 @@ def build_step(bg: bool):
 
 
 def parse_trace(trace_dir: str):
+    """Aggregate device time by hlo_category on the 'XLA Ops' thread.
+
+    `while.*` wrapper events OVERLAP their interior ops (both are
+    recorded), so the wrappers are dropped from the totals and instead
+    used to attribute leaf time to the enclosing scan loop.
+    """
+    import bisect
+
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     assert files, f"no trace under {trace_dir}"
     with gzip.open(sorted(files)[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # find the device pid (process named like 'TPU' / device ordinal)
-    dev_pids = set()
+    ops_tid = None
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
-            if "TPU" in name or "/device:" in name.lower() \
-                    or name.startswith("(pid"):
-                dev_pids.add(e["pid"])
+        if e.get("ph") == "M" and e.get("name") == "thread_name" \
+                and e.get("args", {}).get("name") == "XLA Ops":
+            ops_tid = (e["pid"], e["tid"])
+    whiles, leaves = [], []
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) != ops_tid:
+            continue
+        if e.get("name", "").startswith("while"):
+            whiles.append((e["ts"], e["ts"] + e.get("dur", 0), e["name"]))
+        else:
+            leaves.append(e)
+    whiles.sort()
+    starts = [w[0] for w in whiles]
+
     cat_time = defaultdict(float)
     op_time = defaultdict(float)
+    loop_time = defaultdict(float)
     total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("tid") != 3:
-            continue
-        if dev_pids and e.get("pid") not in dev_pids:
-            continue
+    for e in leaves:
         dur = e.get("dur", 0) / 1e6           # seconds
         cat = e.get("args", {}).get("hlo_category", "?")
         cat_time[cat] += dur
         op_time[e.get("name", "?")] += dur
+        i = bisect.bisect_right(starts, e["ts"]) - 1
+        loop = "OUTSIDE"
+        if i >= 0 and e["ts"] < whiles[i][1]:
+            loop = whiles[i][2]
+        loop_time[loop] += dur
         total += dur
-    return cat_time, op_time, total
+    return cat_time, op_time, loop_time, total
 
 
 def main():
@@ -100,14 +118,17 @@ def main():
     print(f"bg={bg} steps={steps} wall/step={wall*1000:.1f} ms "
           f"({1024/wall:.0f} rays/s/chip)")
 
-    cat_time, op_time, total = parse_trace(trace_dir)
-    print(f"\ndevice time by hlo_category (total {total*1000:.1f} ms "
-          f"over {steps} steps):")
+    cat_time, op_time, loop_time, total = parse_trace(trace_dir)
+    print(f"\ndevice time by hlo_category ({total/steps*1000:.1f} ms/step):")
     for cat, t in sorted(cat_time.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:32s} {t*1000:9.1f} ms  {100*t/total:5.1f}%")
+        print(f"  {cat:32s} {t/steps*1000:9.2f} ms/step "
+              f"{100*t/total:5.1f}%")
+    print("\ntime by scan loop (while op):")
+    for name, t in sorted(loop_time.items(), key=lambda kv: -kv[1]):
+        print(f"  {name:16s} {t/steps*1000:8.2f} ms/step")
     print("\ntop 15 ops:")
     for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {name[:72]:72s} {t*1000:8.1f} ms")
+        print(f"  {name[:64]:64s} {t/steps*1000:8.2f} ms/step")
     print(f"\ntrace dir: {trace_dir}")
 
 
