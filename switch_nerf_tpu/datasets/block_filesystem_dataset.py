@@ -113,7 +113,18 @@ class BlockFilesystemDataset:
     def __init__(self, data_path, near: float, far: float, scale_factor: int,
                  list_path, id_map_path, chunk_paths: Sequence[Path],
                  num_chunks: int, disk_flush_size: int,
-                 shuffle_chunk: bool = False, seed: int = 42):
+                 shuffle_chunk: bool = False, seed: int = 42,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        # process-strided feeding, mirroring FilesystemDataset: each
+        # process keeps rows [pi::pc] of every chunk; process 0 writes the
+        # chunk files, the others wait for the manifest (written last)
+        import jax
+        self._process_index = (jax.process_index() if process_index is None
+                               else int(process_index))
+        self._process_count = (jax.process_count() if process_count is None
+                               else int(process_count))
+        self._global_rows = 0
         self._near, self._far = float(near), float(far)
         self._rng = np.random.default_rng(seed)
         self._shuffle_chunk = shuffle_chunk
@@ -129,6 +140,17 @@ class BlockFilesystemDataset:
                     "far": self._far, "scale_factor": scale_factor}
         mf = root / _MANIFEST
         if mf.exists():
+            if json.loads(mf.read_text()) != manifest:
+                raise ValueError(f"chunk dir {root} written with different "
+                                 "settings; delete it or change chunk_paths")
+        elif self._process_count > 1 and self._process_index != 0:
+            import time as _time
+            deadline = _time.time() + 3600.0
+            while not mf.exists():
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        "process 0 never published the chunk manifest")
+                _time.sleep(1.0)
             if json.loads(mf.read_text()) != manifest:
                 raise ValueError(f"chunk dir {root} written with different "
                                  "settings; delete it or change chunk_paths")
@@ -175,6 +197,7 @@ class BlockFilesystemDataset:
 
     def load_chunk(self) -> None:
         self._loaded = self._next.result()
+        self._global_rows = self._loaded.pop("_n_global")
         self._loaded_index = self._chunk_index
         self._chunk_index = (self._chunk_index + 1) % len(self._chunk_paths)
         self._start_prefetch()
@@ -186,6 +209,10 @@ class BlockFilesystemDataset:
                 for k in z.files:
                     arrays.setdefault(k, []).append(z[k])
         out = {k: np.concatenate(v) for k, v in arrays.items()}
+        n_global = out["rgbs"].shape[0]
+        if self._process_count > 1:
+            sl = slice(self._process_index, None, self._process_count)
+            out = {k: v[sl] for k, v in out.items()}
         raydata = out["raydata"].astype(np.float32)     # [N, 7] radii|o|d
         n = raydata.shape[0]
         nf = np.full((n, 1), self._near, np.float32)
@@ -195,6 +222,7 @@ class BlockFilesystemDataset:
             "rays": np.concatenate([raydata[:, 1:7], nf, ff], -1),
             "radii": raydata[:, 0:1],
             "image_indices": out["image_indices"].astype(np.float32),
+            "_n_global": n_global,
         }
 
     def __len__(self) -> int:
@@ -204,9 +232,16 @@ class BlockFilesystemDataset:
         return {k: v[idx] for k, v in self._loaded.items()}
 
     def sample_batches(self, batch_size: int, drop_last: bool = True):
+        """batch_size is the PER-PROCESS share in multi-process runs; the
+        batch count derives from the global row count (see
+        FilesystemDataset.sample_batches)."""
         n = len(self)
         order = self._rng.permutation(n)
-        stop = n - (n % batch_size) if drop_last else n
+        if self._process_count > 1:
+            stop = (self._global_rows
+                    // (batch_size * self._process_count)) * batch_size
+        else:
+            stop = n - (n % batch_size) if drop_last else n
         for i in range(0, stop, batch_size):
             idx = order[i:i + batch_size]
             yield {k: v[idx] for k, v in self._loaded.items()}

@@ -467,6 +467,19 @@ class Runner:
                          for k, v in batch.items()}
                 batch = self._put_batch(batch, local=local_feed)
                 data_time_acc += time.perf_counter() - t_data
+                if h.profile_trace_step is not None:
+                    # 3-step device trace window (replaces the reference's
+                    # manual wall-clock profiling, runner.py:581-597)
+                    if train_iterations == h.profile_trace_step:
+                        trace_dir = (self.experiment_path or Path(".")) \
+                            / "profile"
+                        jax.profiler.start_trace(str(trace_dir))
+                    elif train_iterations == h.profile_trace_step + 3:
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready(), m)
+                        jax.profiler.stop_trace()
+                        main_log(f"profiler trace written to "
+                                 f"{self.experiment_path}/profile")
                 state, m = train_step(state, batch)
                 train_iterations += 1
 

@@ -76,6 +76,7 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     from switch_nerf_tpu.runner import Runner
 
     h = mega_hparams(mega_dataset, tmp_path)
+    h.profile_trace_step = 1          # 3-step device trace mid-training
     runner = Runner(h)
     assert runner.pose_scale_factor == 10.0
     assert runner.near == pytest.approx(0.05)
@@ -85,6 +86,8 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
 
     state = runner.train()
     assert int(state.step) == 6
+    # profiler trace window written (--profile_trace_step)
+    assert list((runner.experiment_path / "profile").glob("**/*"))
 
     # checkpoint written at steps 3 and 6
     models = runner.model_path
@@ -186,6 +189,49 @@ def test_filesystem_dataset_chunks(mega_dataset, tmp_path):
                           scale_factor=1, disk_flush_size=1000)
 
 
+def test_filesystem_dataset_process_striding(mega_dataset, tmp_path):
+    """Multi-host feeding contract (explicit process params, no
+    distributed runtime needed): the per-process shares are disjoint,
+    cover every row, and every process agrees on the batch count."""
+    import torch
+    from switch_nerf_tpu.datasets.filesystem_dataset import FilesystemDataset
+    from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+
+    items = []
+    for i, p in enumerate(sorted(
+            (mega_dataset / "train" / "metadata").iterdir())):
+        md = torch.load(p, weights_only=False)
+        items.append(ImageMetadata(
+            mega_dataset / "train" / "rgbs" / f"{p.stem}.jpg",
+            md["c2w"].numpy(), md["W"], md["H"], md["intrinsics"].numpy(),
+            i, None, False))
+
+    def make(pi, pc):
+        ds = FilesystemDataset(items, 0.05, 2.0, None, True,
+                               [tmp_path / "chunks"], num_chunks=2,
+                               scale_factor=1, disk_flush_size=1000,
+                               process_index=pi, process_count=pc)
+        ds.load_chunk()
+        return ds
+
+    full = make(0, 1)
+    n_global = len(full)
+    d0, d1 = make(0, 2), make(1, 2)
+    assert len(d0) + len(d1) == n_global
+    assert d0._global_rows == d1._global_rows == n_global
+    # strided shares are disjoint and reassemble the global rows
+    r_full = full._loaded["rays"]
+    np.testing.assert_array_equal(d0._loaded["rays"], r_full[0::2])
+    np.testing.assert_array_equal(d1._loaded["rays"], r_full[1::2])
+    # per-process batch counts agree (derived from the GLOBAL row count)
+    bs = 8
+    n0 = sum(1 for _ in d0.sample_batches(bs))
+    n1 = sum(1 for _ in d1.sample_batches(bs))
+    assert n0 == n1 == n_global // (bs * 2)
+    for b in d0.sample_batches(bs):
+        assert b["rays"].shape[0] == bs
+
+
 def test_metrics_psnr_ssim():
     from switch_nerf_tpu import metrics as M
     rng = np.random.default_rng(1)
@@ -236,3 +282,15 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["nerf"]["w"]),
         np.arange(6.0).reshape(2, 3))
     assert extra["dataset_state"] == "2" and extra["dataset_index"] == 5
+
+    # orbax sharded format round-trip (forced in single-process mode;
+    # the 2-process path is covered by tests/test_multihost.py)
+    save_checkpoint(tmp_path / "orb", state, dataset_state="4",
+                    dataset_index=9, sharded=True)
+    assert (tmp_path / "orb" / "7" / "orbax").exists()
+    restored2, extra2 = load_checkpoint(tmp_path / "orb", fresh)
+    assert int(restored2.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored2.params["nerf"]["w"]),
+        np.arange(6.0).reshape(2, 3))
+    assert extra2["dataset_state"] == "4" and extra2["dataset_index"] == 9
