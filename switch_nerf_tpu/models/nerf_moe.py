@@ -104,6 +104,23 @@ class NeRFMoE(nn.Module):
                 name=f"layer_{tag}")
         if typ == "layernorm":
             return nn.LayerNorm(param_dtype=self.param_dtype, name=f"layer_{tag}")
+        if typ == "groupnorm":
+            # reference nerf_moe.py:305-307 (nn.GroupNorm(group_num, in_ch))
+            return nn.GroupNorm(num_groups=cfg["group_num"],
+                                param_dtype=self.param_dtype,
+                                name=f"layer_{tag}")
+        if typ == "dropout":
+            # reference nerf_moe.py:308-309 (nn.Dropout(prob), train-only)
+            return nn.Dropout(rate=cfg["prob"], name=f"layer_{tag}")
+        if typ == "batchnorm":
+            # Scoping decision (documented in STATUS.md): unused by every
+            # published config; its running-stats EMA is ill-defined under
+            # the chunked lax.scan inference loop, and the reference's own
+            # NormMlp batchnorm branch raises NotImplementedError
+            # (nerf_moe.py:66-73).
+            raise NotImplementedError(
+                "graph-level batchnorm is not supported (unused by all "
+                "published Switch-NeRF configs; see STATUS.md)")
         raise NotImplementedError(f"layer type {typ!r}")
 
     @nn.compact
@@ -152,6 +169,8 @@ class NeRFMoE(nn.Module):
                 moe_loss.append(l_aux)
                 if self.moe_return_gates:
                     moe_gates.append(gate_extras["gates"])
+            elif cfg["type"] == "dropout":
+                h = layer(h, deterministic=deterministic)
             else:
                 h = layer(h)
             h = apply_act(cfg.get("act", "none"), h)

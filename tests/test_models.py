@@ -203,3 +203,76 @@ def test_moe_gradients_nonzero_all_experts():
     per_expert = np.abs(gw).sum(axis=(1, 2))
     assert (per_expert > 0).sum() >= 2  # balanced-ish random routing
     assert np.abs(np.asarray(g["params"]["wg"]["kernel"])).sum() > 0
+
+
+AUX_CFG = {
+    # exercises the rarely-used graph layer types the reference builds at
+    # nerf_moe.py:301-309: groupnorm + dropout main layers
+    "layer_num_main": 5,
+    "sigma_tag": 0,
+    "dir_tag": 3,
+    "color_tag": 4,
+    "expert_num": 4,
+    "layers": {
+        "xyz": {"in_ch": 27, "h_ch": 0, "out_ch": 32, "num": 1,
+                "type": "mlp", "act": "none"},
+        "0": {"in_ch": 32, "h_ch": 32, "out_ch": 32, "num": 2,
+              "type": "moe", "act": "relu", "k": 1, "fp32_gate": True,
+              "gate_dim": 32},
+        "1": {"in_ch": 32, "out_ch": 32, "type": "groupnorm", "group_num": 4},
+        "2": {"in_ch": 32, "out_ch": 32, "type": "dropout", "prob": 0.5},
+        "3": {"in_ch": 32, "h_ch": 0, "out_ch": 32, "num": 1,
+              "type": "mlp", "act": "none"},
+        "4": {"in_ch": 32 + 15 + 8, "h_ch": 0, "out_ch": 16, "num": 1,
+              "type": "mlp", "act": "relu"},
+        "sigma": {"in_ch": 32, "h_ch": 0, "out_ch": 1, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "color": {"in_ch": 16, "h_ch": 0, "out_ch": 3, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "moe_external_gate": {"in_ch": 32, "h_ch": 32, "out_ch": 32, "num": 2,
+                              "type": "mlp", "act": "none"},
+        "gate_input_norm": {"in_ch": 32, "h_ch": 0, "out_ch": 0, "num": 1,
+                            "type": "layernorm"},
+    },
+}
+
+
+def test_nerf_moe_groupnorm_dropout_layers():
+    s = 32
+    rng = np.random.RandomState(11)
+    x = np.concatenate([rng.randn(s, 3), rng.randn(s, 3),
+                        np.zeros((s, 1))], 1).astype(np.float32)
+    model = NeRFMoE(layer_cfg=AUX_CFG, pos_xyz_dim=4, pos_dir_dim=2,
+                    appearance_dim=8, appearance_count=5,
+                    use_moe_external_gate=True, use_gate_input_norm=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert "layer_1" in params["params"]          # groupnorm scale/bias
+    # eval: dropout inert -> deterministic
+    o1 = model.apply(params, jnp.asarray(x))
+    o2 = model.apply(params, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(o1["outputs"]),
+                                  np.asarray(o2["outputs"]))
+    assert np.isfinite(np.asarray(o1["outputs"])).all()
+    # train: dropout active -> rgb depends on the dropout rng (sigma taps
+    # the trunk before the dropout layer, so only rgb should change)
+    def run(seed):
+        return model.apply(
+            params, jnp.asarray(x), deterministic=False,
+            rngs={"gate_noise": jax.random.PRNGKey(9),
+                  "dropout": jax.random.PRNGKey(seed)})["outputs"]
+    a, b = np.asarray(run(1)), np.asarray(run(2))
+    assert not np.array_equal(a[:, :3], b[:, :3])
+    np.testing.assert_array_equal(a[:, 3], b[:, 3])
+
+
+def test_nerf_moe_batchnorm_layer_raises():
+    import copy
+    import pytest
+    cfg = copy.deepcopy(AUX_CFG)
+    cfg["layers"]["1"] = {"in_ch": 32, "out_ch": 32, "type": "batchnorm"}
+    model = NeRFMoE(layer_cfg=cfg, pos_xyz_dim=4, pos_dir_dim=2,
+                    appearance_dim=8, appearance_count=5,
+                    use_moe_external_gate=True, use_gate_input_norm=True)
+    x = jnp.zeros((4, 7), jnp.float32)
+    with pytest.raises(NotImplementedError, match="batchnorm"):
+        model.init(jax.random.PRNGKey(0), x)
