@@ -20,6 +20,7 @@ import json
 import os
 import random
 import shutil
+import signal
 import sys
 import time
 from argparse import Namespace
@@ -55,6 +56,34 @@ def _torch_load(path):
     """IO shim for the Mega-NeRF on-disk formats (.pt metadata files)."""
     import torch
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _install_term_latch():
+    """Latch SIGTERM so the train loop can exit preemption-safely.
+
+    TPU-pod preemption delivers SIGTERM to every worker process with a
+    grace window. Instead of dying mid-step, the loop finishes the
+    in-flight step, saves a resumable checkpoint (RNG chain + dataset
+    cursor), and exits 0. No reference analog — the torch runner dies and
+    loses everything since its last interval checkpoint.
+    """
+    latch = {"requested": False, "prev": None, "installed": False}
+
+    def _on_term(signum, frame):
+        latch["requested"] = True
+
+    try:
+        latch["prev"] = signal.signal(signal.SIGTERM, _on_term)
+        latch["installed"] = True
+    except ValueError:          # not the main thread (embedded use)
+        pass
+    return latch
+
+
+def _release_term_latch(latch):
+    if latch["installed"]:
+        signal.signal(signal.SIGTERM, latch["prev"])
+        latch["installed"] = False
 
 
 class Runner:
@@ -357,6 +386,9 @@ class Runner:
     def train(self):
         """Mega-NeRF / Block-NeRF chunked training (runner.py:476-760)."""
         h = self.hparams
+        # latch SIGTERM from the very start: preemption during setup or the
+        # first compile must still produce a clean checkpointed exit
+        term = _install_term_latch()
         scene = SceneInfo(self.sphere_center, self.sphere_radius)
         render_cfg = render_config_from_hparams(h)
         state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
@@ -520,9 +552,27 @@ class Runner:
                 if train_iterations % h.val_interval == 0:
                     self._run_validation_image(state)
 
+                if term["requested"]:
+                    # preemption: save a fully resumable checkpoint (RNG
+                    # chain + dataset cursor) and exit cleanly. SIGTERM is
+                    # delivered to every process on pod preemption, so the
+                    # (possibly collective, orbax) save is SPMD-safe.
+                    _release_term_latch(term)
+                    if self.model_path is not None:
+                        save_checkpoint(
+                            self.model_path, state,
+                            dataset_state=(dataset.get_state()
+                                           if h.dataset_type == "filesystem"
+                                           else None),
+                            dataset_index=dataset_index, keep=h.ckpt_keep)
+                    main_log(f"SIGTERM: checkpoint saved at iteration "
+                             f"{train_iterations}; exiting")
+                    return state
+
                 if train_iterations >= h.train_iterations:
                     break
 
+        _release_term_latch(term)
         if self.model_path is not None:
             save_checkpoint(self.model_path, state)
         main_log("Training complete")
@@ -531,6 +581,7 @@ class Runner:
     def train_nerf(self):
         """Classic-NeRF epoch training (runner.py:763-943)."""
         h = self.hparams
+        term = _install_term_latch()
         scene = SceneInfo(None, None)
         render_cfg = render_config_from_hparams(h)
         state = create_train_state(self.init_rng, h, self.nerf, None, {})
@@ -563,6 +614,14 @@ class Runner:
             if self.model_path is not None and \
                     train_iterations % h.ckpt_interval == 0:
                 save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
+            if term["requested"]:
+                _release_term_latch(term)
+                if self.model_path is not None:
+                    save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
+                main_log(f"SIGTERM: checkpoint saved at iteration "
+                         f"{train_iterations}; exiting")
+                return state
+        _release_term_latch(term)
         if self.model_path is not None:
             save_checkpoint(self.model_path, state)
         main_log("Training complete")

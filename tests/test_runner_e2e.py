@@ -294,3 +294,44 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored2.params["nerf"]["w"]),
         np.arange(6.0).reshape(2, 3))
     assert extra2["dataset_state"] == "4" and extra2["dataset_index"] == 9
+
+
+def test_sigterm_saves_resumable_checkpoint(mega_dataset, tmp_path):
+    """Preemption safety: SIGTERM mid-training finishes the in-flight step,
+    saves a resumable checkpoint, and returns cleanly (runner latch —
+    _install_term_latch)."""
+    import os
+    import signal
+    import threading
+
+    from switch_nerf_tpu.checkpoints import load_checkpoint
+    from switch_nerf_tpu.runner import Runner
+    from switch_nerf_tpu.trainer import create_train_state
+
+    h = mega_hparams(mega_dataset, tmp_path)
+    h.train_iterations = 100000          # would run ~forever
+    h.ckpt_interval = 10 ** 9            # only the SIGTERM save can happen
+    h.i_print = 10 ** 9
+    runner = Runner(h)
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    timer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        state = runner.train()
+    finally:
+        timer.cancel()
+    assert 0 < int(state.step) < 100000
+    assert signal.getsignal(signal.SIGTERM) == prev_handler  # latch released
+
+    models = runner.model_path
+    steps = sorted(int(p.name) for p in models.iterdir() if p.name.isdigit())
+    assert steps == [int(state.step)]
+
+    # the saved checkpoint is resumable
+    h2 = mega_hparams(mega_dataset, tmp_path / "resume")
+    h2.ckpt_path = str(models / str(steps[0]))
+    h2.train_iterations = steps[0] + 2
+    runner2 = Runner(h2)
+    state2 = runner2.train()
+    assert int(state2.step) == steps[0] + 2
