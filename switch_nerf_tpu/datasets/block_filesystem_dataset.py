@@ -144,13 +144,8 @@ class BlockFilesystemDataset:
                 raise ValueError(f"chunk dir {root} written with different "
                                  "settings; delete it or change chunk_paths")
         elif self._process_count > 1 and self._process_index != 0:
-            import time as _time
-            deadline = _time.time() + 3600.0
-            while not mf.exists():
-                if _time.time() > deadline:
-                    raise TimeoutError(
-                        "process 0 never published the chunk manifest")
-                _time.sleep(1.0)
+            from switch_nerf_tpu.datasets.dataset_utils import poll_until
+            poll_until(lambda: mf.exists() or None)
             if json.loads(mf.read_text()) != manifest:
                 raise ValueError(f"chunk dir {root} written with different "
                                  "settings; delete it or change chunk_paths")

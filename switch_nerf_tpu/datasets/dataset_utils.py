@@ -51,3 +51,18 @@ def get_rgb_index_mask(metadata: ImageMetadata,
     assert metadata.image_index <= INT16_MAX
     indices = np.full((rgbs.shape[0],), metadata.image_index, dtype=np.int16)
     return rgbs, indices, keep_mask
+
+
+def poll_until(check, timeout_s: float = 3600.0, interval_s: float = 1.0,
+               desc: str = "process 0 never published the chunk manifest"):
+    """Shared multi-host manifest-wait protocol: poll `check()` until it
+    returns non-None, else TimeoutError(desc). Used by both chunked
+    datasets so the wait semantics cannot drift."""
+    import time
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        out = check()
+        if out is not None:
+            return out
+        time.sleep(interval_s)
+    raise TimeoutError(desc)

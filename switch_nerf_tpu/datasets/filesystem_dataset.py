@@ -212,15 +212,11 @@ class FilesystemDataset:
                          scale_factor, timeout_s: float = 3600.0) -> Path:
         """Non-zero processes block until process 0 publishes the manifest
         (written last, after every part file is flushed)."""
-        import time
-        deadline = time.time() + timeout_s
-        while time.time() < deadline:
-            found = self._existing_chunk_dir(chunk_paths, metadata_items,
-                                             num_chunks, scale_factor)
-            if found is not None:
-                return found
-            time.sleep(1.0)
-        raise TimeoutError("process 0 never published the chunk manifest")
+        from switch_nerf_tpu.datasets.dataset_utils import poll_until
+        return poll_until(
+            lambda: self._existing_chunk_dir(chunk_paths, metadata_items,
+                                             num_chunks, scale_factor),
+            timeout_s=timeout_s)
 
     # ----------------------------------------------------------- writing --
     def _manifest(self, metadata_items, num_chunks, scale_factor) -> Dict:

@@ -18,6 +18,7 @@ with <net> in {vgg, alex, squeeze}. Scaling layer constants are built in
 from __future__ import annotations
 
 import functools
+import zlib
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -199,8 +200,11 @@ def substitute_weights(net: str, seed: int = 0) -> Dict[str, np.ndarray]:
     (scripts/convert_lpips_weights.py) for exact parity with the
     reference eval protocol (switch_nerf/metrics.py:13-27).
     """
-    rng = np.random.default_rng(np.random.SeedSequence([hash(net) & 0xFFFF,
-                                                        seed]))
+    # zlib.crc32, NOT builtin hash(): str hashing is salted per interpreter
+    # (PYTHONHASHSEED), which would give every run/pod process different
+    # "deterministic" backbones
+    net_key = zlib.crc32(net.encode("utf-8")) & 0xFFFF
+    rng = np.random.default_rng(np.random.SeedSequence([net_key, seed]))
     w: Dict[str, np.ndarray] = {}
     convs, taps = _net_layer_specs(net)
     for name, kh, kw, cin, cout in convs:

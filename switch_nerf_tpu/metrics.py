@@ -116,9 +116,14 @@ _LPIPS_DEFAULT_PATH = os.path.join(
 
 def _resolve_lpips_weights() -> Optional[str]:
     p = os.environ.get("SWITCH_NERF_LPIPS_WEIGHTS")
-    if p and os.path.exists(p):
+    if p:
+        # explicit user intent: a missing path must fail loudly, not fall
+        # back to substitute numbers recorded under the same lpips-* keys
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"SWITCH_NERF_LPIPS_WEIGHTS={p!r} does not exist")
         return p
-    if not p and os.path.exists(_LPIPS_DEFAULT_PATH):
+    if os.path.exists(_LPIPS_DEFAULT_PATH):
         return _LPIPS_DEFAULT_PATH
     return None
 

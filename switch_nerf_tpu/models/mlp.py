@@ -65,11 +65,11 @@ class NormMlp(nn.Module):
                 h = h + x
                 if not is_last:
                     if use_norm:
-                        h = nn.LayerNorm(param_dtype=self.param_dtype, name=f"norm{i}")(h)
+                        h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name=f"norm{i}")(h)
                     h = apply_act(self.act, h)
                 x = h
             elif not is_last:
                 if use_norm:
-                    h = nn.LayerNorm(param_dtype=self.param_dtype, name=f"norm{i}")(h)
+                    h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name=f"norm{i}")(h)
                 h = apply_act(self.act, h)
         return h

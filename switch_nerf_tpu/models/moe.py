@@ -219,10 +219,11 @@ class MoELayer(nn.Module):
         # original row id + gate along (sorting networks on the VPU; the
         # argsort+fancy-index chain this replaces lowered to the
         # dynamic-gather fusions CLAUDE.md flags as the TPU killer)
-        _, order, sorted_gates = sort_with_payloads(flat_expert, iota,
-                                                    gates_flat)
+        # the sort's first result IS flat_expert[order] (stable sort) — use
+        # it directly instead of re-gathering
+        row_expert, order, sorted_gates = sort_with_payloads(flat_expert,
+                                                             iota, gates_flat)
         row_token = order % s
-        row_expert = flat_expert[order]
         # per-expert counts as a one-hot reduction (bincount lowers to
         # scatter-add; the one-hot sum is a single MXU-friendly reduce)
         counts = jnp.sum(

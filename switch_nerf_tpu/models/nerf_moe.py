@@ -103,10 +103,13 @@ class NeRFMoE(nn.Module):
                 shard_experts_spmd=self.shard_experts_spmd,
                 name=f"layer_{tag}")
         if typ == "layernorm":
-            return nn.LayerNorm(param_dtype=self.param_dtype, name=f"layer_{tag}")
+            # epsilon matches torch nn.LayerNorm's 1e-5 (flax default 1e-6)
+            return nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype,
+                                name=f"layer_{tag}")
         if typ == "groupnorm":
-            # reference nerf_moe.py:305-307 (nn.GroupNorm(group_num, in_ch))
-            return nn.GroupNorm(num_groups=cfg["group_num"],
+            # reference nerf_moe.py:305-307 (nn.GroupNorm(group_num, in_ch));
+            # epsilon matches torch's 1e-5 (flax default is 1e-6)
+            return nn.GroupNorm(num_groups=cfg["group_num"], epsilon=1e-5,
                                 param_dtype=self.param_dtype,
                                 name=f"layer_{tag}")
         if typ == "dropout":

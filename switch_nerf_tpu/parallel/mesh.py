@@ -70,7 +70,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def expert_leaf_spec(path: str, leaf, num_experts: int,
                      expert_parallel: bool,
-                     weight_parallel: bool = False) -> P:
+                     weight_parallel: bool = False,
+                     data_axis_size: Optional[int] = None) -> P:
     """PartitionSpec for one parameter leaf (path is '/'-joined).
 
     weight_parallel is the TPU-native analog of the reference's
@@ -86,7 +87,12 @@ def expert_leaf_spec(path: str, leaf, num_experts: int,
             and hasattr(leaf, "ndim") and leaf.ndim >= 1
             and leaf.shape[0] == num_experts):
         first = EXPERT_AXIS if expert_parallel else None
-        if weight_parallel and leaf.ndim >= 2:
+        if weight_parallel and leaf.ndim >= 2 and (
+                data_axis_size is None
+                or leaf.shape[-1] % data_axis_size == 0):
+            # device_put needs exact divisibility (no padding outside jit);
+            # odd-sized hidden dims stay replicated — same graceful degrade
+            # as the ZeRO-1 opt-state sharding below
             return P(first, *([None] * (leaf.ndim - 2)), DATA_AXIS)
         if expert_parallel:
             return P(EXPERT_AXIS)
@@ -109,9 +115,9 @@ def param_shardings(params, mesh: Mesh, num_experts: int,
                 out.append(str(k))
         return "/".join(out)
 
-    specs = {path_str(kp): expert_leaf_spec(path_str(kp), v, num_experts,
-                                            expert_parallel, weight_parallel)
-             for kp, v in flat}
+    specs = {path_str(kp): expert_leaf_spec(
+        path_str(kp), v, num_experts, expert_parallel, weight_parallel,
+        data_axis_size=mesh.shape[DATA_AXIS]) for kp, v in flat}
 
     def to_sharding(kp, v):
         return NamedSharding(mesh, specs[path_str(kp)])
@@ -152,7 +158,8 @@ def opt_state_shardings(opt_state, mesh: Mesh, num_experts: int,
 
     def leaf_spec(path, leaf):
         spec = expert_leaf_spec(path, leaf, num_experts, expert_parallel,
-                                weight_parallel)
+                                weight_parallel,
+                                data_axis_size=mesh.shape[DATA_AXIS])
         if (zero_data_axis and spec == P()
                 and hasattr(leaf, "ndim") and leaf.ndim >= 2
                 and hasattr(leaf, "dtype")

@@ -86,6 +86,25 @@ def _release_term_latch(latch):
         latch["installed"] = False
 
 
+def _global_term_requested(latch) -> bool:
+    """Cross-process agreement on the preemption exit.
+
+    SIGTERM delivery is not synchronized to step boundaries: without
+    agreement, host A could leave the loop at step K while host B is
+    already inside step K+1's collective — A then waits in the (orbax)
+    checkpoint barrier for B, B waits in the step for A, and the grace
+    window expires with NO checkpoint. A one-element host allgather at the
+    same loop point every iteration makes every process see the flag at
+    the same step (global OR), so all exit — and save — together.
+    """
+    flag = latch["requested"]
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+    return bool(np.asarray(multihost_utils.process_allgather(
+        np.array([flag], np.bool_))).any())
+
+
 class Runner:
     def __init__(self, hparams: Namespace, set_experiment_path: bool = True):
         self.hparams = hparams
@@ -459,6 +478,7 @@ class Runner:
         # (reference runner.py:581-595). Device steps are async; the
         # float() sync at print time lands compute cost in fwd_bwd.
         data_time_acc = 0.0
+        trace_active = False
 
         # datasets that stride rows per process (FilesystemDataset) yield
         # the per-process share, fed via _put_batch(local=True); the others
@@ -501,15 +521,20 @@ class Runner:
                 data_time_acc += time.perf_counter() - t_data
                 if h.profile_trace_step is not None:
                     # 3-step device trace window (replaces the reference's
-                    # manual wall-clock profiling, runner.py:581-597)
+                    # manual wall-clock profiling, runner.py:581-597).
+                    # trace_active guards the stop branch: on resume past
+                    # the window the condition can hit before any step ran
                     if train_iterations == h.profile_trace_step:
                         trace_dir = (self.experiment_path or Path(".")) \
                             / "profile"
                         jax.profiler.start_trace(str(trace_dir))
-                    elif train_iterations == h.profile_trace_step + 3:
+                        trace_active = True
+                    elif trace_active \
+                            and train_iterations == h.profile_trace_step + 3:
                         jax.tree_util.tree_map(
                             lambda x: x.block_until_ready(), m)
                         jax.profiler.stop_trace()
+                        trace_active = False
                         main_log(f"profiler trace written to "
                                  f"{self.experiment_path}/profile")
                 state, m = train_step(state, batch)
@@ -552,12 +577,14 @@ class Runner:
                 if train_iterations % h.val_interval == 0:
                     self._run_validation_image(state)
 
-                if term["requested"]:
+                if _global_term_requested(term):
                     # preemption: save a fully resumable checkpoint (RNG
-                    # chain + dataset cursor) and exit cleanly. SIGTERM is
-                    # delivered to every process on pod preemption, so the
-                    # (possibly collective, orbax) save is SPMD-safe.
+                    # chain + dataset cursor) and exit cleanly. The global
+                    # OR above makes every process exit at the same step,
+                    # so the (possibly collective, orbax) save is SPMD-safe.
                     _release_term_latch(term)
+                    if trace_active:
+                        jax.profiler.stop_trace()
                     if self.model_path is not None:
                         save_checkpoint(
                             self.model_path, state,
@@ -573,6 +600,8 @@ class Runner:
                     break
 
         _release_term_latch(term)
+        if trace_active:       # training ended inside the trace window
+            jax.profiler.stop_trace()
         if self.model_path is not None:
             save_checkpoint(self.model_path, state)
         main_log("Training complete")
@@ -614,7 +643,7 @@ class Runner:
             if self.model_path is not None and \
                     train_iterations % h.ckpt_interval == 0:
                 save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
-            if term["requested"]:
+            if _global_term_requested(term):
                 _release_term_latch(term)
                 if self.model_path is not None:
                     save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
@@ -654,10 +683,21 @@ class Runner:
                 self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip))
         eval_step = self._eval_step
 
+        multi = jax.process_count() > 1
+
         def render_chunks(rays: np.ndarray, image_index: float,
                           radii: Optional[np.ndarray] = None):
             """Render arbitrary ray count in fixed image_pixel_batch_size
-            chunks (padded => one compiled program)."""
+            chunks (padded => one compiled program).
+
+            Multi-process SPMD: every process calls this with IDENTICAL
+            rays (the eval loops iterate the full image list on every
+            process), the batch is fed as a global mesh-sharded array
+            (each image is rendered cooperatively by ALL chips — same
+            total chip-work as rank-strided rendering, but every
+            eval_step execution is lockstep by construction, which
+            globally-sharded params require), and outputs are gathered
+            back to every host."""
             n = rays.shape[0]
             bs = h.image_pixel_batch_size
             out: Dict[str, List[np.ndarray]] = {}
@@ -667,20 +707,28 @@ class Runner:
                 pad = bs - r.shape[0]
                 if pad:
                     r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
-                batch = {"rays": jnp.asarray(r),
-                         "image_indices": jnp.full((bs,), image_index,
-                                                   jnp.float32)}
+                np_batch = {"rays": np.asarray(r, np.float32),
+                            "image_indices": np.full((bs,), image_index,
+                                                     np.float32)}
                 if radii is not None:
                     rr = radii[sl]
                     if pad:
                         rr = np.concatenate(
                             [rr, np.repeat(rr[-1:], pad, 0)], 0)
-                    batch["radii"] = jnp.asarray(rr)
+                    np_batch["radii"] = np.asarray(rr, np.float32)
+                if multi:
+                    batch = self._put_batch(np_batch)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
                 res = eval_step(state.params, batch)
                 keep = bs - pad
                 for k, v in res.items():
                     if hasattr(v, "shape") and v.ndim >= 1 \
                             and v.shape[0] == bs:
+                        if multi:
+                            from jax.experimental import multihost_utils
+                            v = multihost_utils.process_allgather(
+                                v, tiled=True)
                         out.setdefault(k, []).append(np.asarray(v[:keep]))
             return {k: np.concatenate(v) for k, v in out.items()}
         return render_chunks
@@ -698,10 +746,16 @@ class Runner:
         h, w = metadata.H, metadata.W
         return {k: v.reshape(h, w, *v.shape[1:]) for k, v in res.items()}
 
-    def _val_indices(self, n: int) -> np.ndarray:
-        """Process-strided image assignment for multi-host eval
-        (reference runner.py:1276-1282: RANK/WORLD_SIZE striding)."""
-        return np.arange(jax.process_index(), n, jax.process_count())
+    @staticmethod
+    def _owns_val_image(i: int) -> bool:
+        """Multi-host eval ownership: every process RENDERS every image
+        cooperatively (the render itself is a collective over the global
+        mesh — see _make_render_fn), but the host-side metric computation,
+        TB logging and file writes for image i belong to one process
+        (the analog of the reference's RANK/WORLD_SIZE striding,
+        runner.py:1276-1282; aggregation happens in
+        DictAverageMeter.mean_across_processes)."""
+        return int(i) % jax.process_count() == jax.process_index()
 
     @staticmethod
     def _peak_memory_mib() -> float:
@@ -731,17 +785,21 @@ class Runner:
         """Validation-protocol eval (reference runner.py:1263-1404):
         right-half PSNR/SSIM/LPIPS per val image, logged per-image to the
         writer as val/<metric>/<i>; no per-image time/memory files (that is
-        _run_validation_image's job). Multi-process runs stride the image
-        list; means are aggregated across processes (reference
+        _run_validation_image's job). Multi-process runs render every image
+        cooperatively over the global mesh and stride only the host-side
+        metric/logging work (see _owns_val_image); means are aggregated
+        across processes (reference
         runner.py:1382-1397's tmp-file + barrier protocol becomes one
         host allgather of meter sums)."""
         if train_index is None:
             train_index = int(state.step)
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
-        for i in self._val_indices(len(self.val_items)):
+        for i in range(len(self.val_items)):
             metadata = self.val_items[int(i)]
             results = self.render_image(metadata, render_chunks)
+            if not self._owns_val_image(i):
+                continue
             typ = "fine" if "rgb_fine" in results else "coarse"
             pred = np.clip(results[f"rgb_{typ}"], 0.0, 1.0)
             gt = metadata.load_image().astype(np.float32) / 255.0
@@ -771,11 +829,13 @@ class Runner:
         if out_dir is not None:
             out_dir.mkdir(parents=True, exist_ok=True)
 
-        for i in self._val_indices(len(self.val_items)):
+        for i in range(len(self.val_items)):
             metadata = self.val_items[int(i)]
             t0 = time.time()
             results = self.render_image(metadata, render_chunks)
             render_time = time.time() - t0
+            if not self._owns_val_image(i):
+                continue
             typ = "fine" if "rgb_fine" in results else "coarse"
             pred = np.clip(results[f"rgb_{typ}"], 0.0, 1.0)
             gt = metadata.load_image().astype(np.float32) / 255.0
@@ -800,7 +860,7 @@ class Runner:
         means = meter.mean_across_processes()
         main_log("val means: " + " ".join(f"{k}={v:.4f}"
                                           for k, v in means.items()))
-        if out_dir is not None:
+        if out_dir is not None and jax.process_index() == 0:
             (out_dir / "metrics.txt").write_text(
                 "\n".join(f"{k}: {v}" for k, v in means.items()))
         return means

@@ -113,8 +113,10 @@ def make_model_fn(model, params, rng: Optional[jax.Array], train: bool,
     kwargs = {} if use_coarse is None else {"use_coarse": use_coarse}
 
     def model_fn(pts, sigma_noise, mrng, is_train):
-        rngs = ({"gate_noise": mrng,
-                 "dropout": jax.random.fold_in(mrng, 1)}
+        # one base key serves both collections: flax's make_rng folds the
+        # module path into each stream, so gate-noise and dropout draws
+        # never collide (and no fold_in here means no extra trace consts)
+        rngs = ({"gate_noise": mrng, "dropout": mrng}
                 if (is_train and mrng is not None) else None)
         out = model.apply({"params": params}, pts, sigma_noise=sigma_noise,
                           deterministic=not is_train, rngs=rngs, **kwargs)

@@ -26,26 +26,47 @@ class DictAverageMeter:
         self.sums.clear()
         self.counts.clear()
 
+    # payload buffer for the cross-process metric exchange; a metric dict
+    # is a handful of short keys + floats, so 64 KiB is generous
+    _XCHG_BYTES = 65536
+
     def mean_across_processes(self) -> Dict[str, float]:
         """Global per-key means over all JAX processes.
 
         Replaces the reference's rank-strided eval aggregation (tmp metric
-        .pt files + barriers, runner.py:1382-1397) with one host allgather
-        of (sum, count) pairs. Keys must agree across processes (each
-        process evaluates a strided share of the same protocol). No-op in
-        single-process runs.
+        .pt files + barriers, runner.py:1382-1397) with one host allgather.
+        The exchange is a fixed-size JSON payload, so it is robust to
+        processes holding DIFFERENT key sets or no entries at all (more
+        processes than val images): keys are merged by name, never
+        positionally. No-op in single-process runs.
         """
         import jax
         if jax.process_count() == 1:
             return self.mean()
+        import json
+
         import numpy as np
         from jax.experimental import multihost_utils
 
-        keys = sorted(self.sums)
-        local = np.array([[self.sums[k] for k in keys],
-                          [float(self.counts[k]) for k in keys]], np.float64)
-        gathered = np.asarray(multihost_utils.process_allgather(local))
-        sums = gathered[:, 0, :].sum(axis=0)
-        counts = gathered[:, 1, :].sum(axis=0)
-        return {k: float(s / max(c, 1.0))
-                for k, s, c in zip(keys, sums, counts)}
+        payload = json.dumps({"s": self.sums, "c": self.counts},
+                             sort_keys=True).encode("utf-8")
+        if len(payload) + 4 > self._XCHG_BYTES:
+            raise ValueError(
+                f"metric payload {len(payload)}B exceeds the "
+                f"{self._XCHG_BYTES}B exchange buffer")
+        buf = np.zeros(self._XCHG_BYTES, np.uint8)
+        buf[:4] = np.frombuffer(
+            np.uint32(len(payload)).tobytes(), np.uint8)
+        buf[4:4 + len(payload)] = np.frombuffer(payload, np.uint8)
+        gathered = np.asarray(multihost_utils.process_allgather(buf))
+
+        sums: Dict[str, float] = {}
+        counts: Dict[str, float] = {}
+        for row in gathered:
+            n = int(np.frombuffer(row[:4].tobytes(), np.uint32)[0])
+            d = json.loads(row[4:4 + n].tobytes().decode("utf-8"))
+            for k, v in d["s"].items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            for k, v in d["c"].items():
+                counts[k] = counts.get(k, 0.0) + float(v)
+        return {k: sums[k] / max(counts.get(k, 0.0), 1.0) for k in sums}

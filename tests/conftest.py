@@ -32,3 +32,14 @@ def _assert_cpu():
         "tests must run on the virtual CPU mesh; got %s" % jax.devices())
     assert jax.device_count() == 8
     yield
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_mesh():
+    """Undo any jax.sharding.set_mesh a test (or code under test) leaves
+    behind: a leaked concrete mesh makes later traces mix meshes
+    (ShardingTypeError: 'Mesh for all inputs should be equal')."""
+    prev = jax.sharding.get_mesh()
+    yield
+    if jax.sharding.get_mesh() is not prev:
+        jax.sharding.set_mesh(prev)

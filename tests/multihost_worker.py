@@ -109,9 +109,44 @@ def main() -> None:
                and extra["dataset_state"] == "3"
                and extra["dataset_index"] == 7)
 
+    # ---- multi-host eval machinery ----
+    # 1) metric aggregation with ASYMMETRIC key sets / empty meters
+    #    (process 1 contributes nothing — more processes than val images)
+    from switch_nerf_tpu.utils.meters import DictAverageMeter
+    meter = DictAverageMeter()
+    if pid == 0:
+        meter.update({"psnr": 10.0, "only0": 1.0})
+        meter.update({"psnr": 14.0})
+    means = meter.mean_across_processes()
+    meter_ok = (abs(means.get("psnr", 0.0) - 12.0) < 1e-9
+                and abs(means.get("only0", 0.0) - 1.0) < 1e-9)
+
+    # 2) preemption exit agreement: flag raised on the LAST process only
+    #    must come back True on every process
+    from switch_nerf_tpu.runner import _global_term_requested
+    latch = {"requested": pid == nproc - 1, "prev": None, "installed": False}
+    term_ok = _global_term_requested(latch) is True
+
+    # 3) collective whole-image render: identical rays on every process,
+    #    batch fed as a global mesh-sharded array, outputs gathered back
+    #    to every host (the lockstep-by-construction eval design)
+    shim.hparams = h
+    shim.nerf, shim.bg_nerf, shim.mip = model, bg_model, False
+    shim.sphere_center, shim.sphere_radius = None, None
+    h.image_pixel_batch_size = 32
+    render_chunks = Runner._make_render_fn(shim, state)
+    rays = np.asarray(_make_batch(h, 48, seed=7)["rays"], np.float32)
+    res = render_chunks(rays, 0.0)          # 48 rays -> 2 chunks, 1 padded
+    typ = "fine" if "rgb_fine" in res else "coarse"
+    eval_ok = (res[f"rgb_{typ}"].shape == (48, 3)
+               and bool(np.isfinite(res[f"rgb_{typ}"]).all()))
+
     if pid == 0:
         print("RESULT " + json.dumps({"losses": losses,
-                                      "ckpt_ok": bool(ckpt_ok)}))
+                                      "ckpt_ok": bool(ckpt_ok),
+                                      "meter_ok": bool(meter_ok),
+                                      "term_ok": bool(term_ok),
+                                      "eval_ok": bool(eval_ok)}))
 
 
 if __name__ == "__main__":

@@ -276,3 +276,28 @@ def test_nerf_moe_batchnorm_layer_raises():
     x = jnp.zeros((4, 7), jnp.float32)
     with pytest.raises(NotImplementedError, match="batchnorm"):
         model.init(jax.random.PRNGKey(0), x)
+
+
+def test_groupnorm_matches_torch():
+    """flax GroupNorm (num_groups, eps=1e-5) == torch nn.GroupNorm — the
+    graph-level 'groupnorm' layer type (reference nerf_moe.py:305-307)."""
+    import torch
+    from flax import linen as nn
+
+    n, c, groups = 16, 32, 4
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 2, (n, c)).astype(np.float32)
+    gamma = rng.normal(1, 0.2, (c,)).astype(np.float32)
+    beta = rng.normal(0, 0.2, (c,)).astype(np.float32)
+
+    t = torch.nn.GroupNorm(groups, c)
+    with torch.no_grad():
+        t.weight.copy_(torch.tensor(gamma))
+        t.bias.copy_(torch.tensor(beta))
+    ref = t(torch.tensor(x)).detach().numpy()
+
+    mod = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    params = {"params": {"scale": jnp.asarray(gamma),
+                         "bias": jnp.asarray(beta)}}
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

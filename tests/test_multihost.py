@@ -74,3 +74,8 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=2e-5, atol=2e-6)
     # training actually progressed
     assert dist["losses"][-1] < dist["losses"][0]
+    # multi-host eval machinery: asymmetric metric aggregation, preemption
+    # exit agreement, and the collective (lockstep-by-construction) render
+    for key in ("meter_ok", "term_ok", "eval_ok"):
+        assert ref[key], f"single-process {key} failed"
+        assert dist[key], f"2-process {key} failed"
