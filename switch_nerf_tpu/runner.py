@@ -86,6 +86,21 @@ def _release_term_latch(latch):
         latch["installed"] = False
 
 
+def _broadcast_str(s: str, size: int = 4096) -> str:
+    """Broadcast a short string from process 0 to every process (length-
+    prefixed fixed-size uint8 buffer over the host allgather)."""
+    from jax.experimental import multihost_utils
+    b = s.encode("utf-8")
+    if len(b) + 4 > size:
+        raise ValueError(f"string too long to broadcast ({len(b)}B)")
+    buf = np.zeros(size, np.uint8)
+    buf[:4] = np.frombuffer(np.uint32(len(b)).tobytes(), np.uint8)
+    buf[4:4 + len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:4].tobytes(), np.uint32)[0])
+    return out[4:4 + n].tobytes().decode("utf-8")
+
+
 def _global_term_requested(latch) -> bool:
     """Cross-process agreement on the preemption exit.
 
@@ -132,20 +147,36 @@ class Runner:
             self.logger = setup_logger(None, self.experiment_path)
             from switch_nerf_tpu.utils.tb import SummaryWriter
             self.writer = SummaryWriter(self.experiment_path / "tb")
-            (self.experiment_path / "hparams.txt").write_text(
-                str(vars(self.hparams)))
-            (self.experiment_path / "command.txt").write_text(
-                " ".join(sys.argv))
-            if self.hparams.config_file is not None and \
-                    Path(self.hparams.config_file).exists():
-                shutil.copy(self.hparams.config_file, self.experiment_path)
+            if jax.process_index() == 0:
+                (self.experiment_path / "hparams.txt").write_text(
+                    str(vars(self.hparams)))
+                (self.experiment_path / "command.txt").write_text(
+                    " ".join(sys.argv))
+                if self.hparams.config_file is not None and \
+                        Path(self.hparams.config_file).exists():
+                    shutil.copy(self.hparams.config_file,
+                                self.experiment_path)
         else:
             self.experiment_path = None
             self.model_path = None
             self.logger = setup_logger(None, None)
 
     def _get_experiment_path(self) -> Path:
-        # versioned experiment dir (runner.py:3110-3116)
+        # versioned experiment dir (runner.py:3110-3116). Multi-process:
+        # only process 0 picks the version and broadcasts the path — two
+        # processes scanning a shared FS concurrently could otherwise
+        # claim different versions and split the run (the reference
+        # broadcasts the path too, runner.py:1426-1431)
+        if jax.process_count() > 1:
+            chosen = ""
+            if jax.process_index() == 0:
+                chosen = str(self._next_version_dir())
+            path = Path(_broadcast_str(chosen))
+            path.mkdir(parents=True, exist_ok=True)
+            return path
+        return self._next_version_dir()
+
+    def _next_version_dir(self) -> Path:
         exp_dir = Path(self.hparams.exp_name)
         exp_dir.mkdir(parents=True, exist_ok=True)
         existing = [int(p.name) for p in exp_dir.iterdir()
@@ -921,6 +952,10 @@ class Runner:
         mode, render_test_points_typ=['coarse']).
         """
         assert self.hparams.use_moe, "eval_points requires a MoE model"
+        assert jax.process_count() == 1, (
+            "eval_points is a single-process offline tool (its point "
+            "program feeds process-local arrays, incompatible with "
+            "globally-sharded params); run it on one host")
         self.hparams.moe_return_gates = True
         # rebuild the model with gate returns enabled
         self.nerf = get_nerf(self.hparams, self.appearance_count)

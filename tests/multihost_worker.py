@@ -123,9 +123,14 @@ def main() -> None:
 
     # 2) preemption exit agreement: flag raised on the LAST process only
     #    must come back True on every process
-    from switch_nerf_tpu.runner import _global_term_requested
+    from switch_nerf_tpu.runner import _broadcast_str, _global_term_requested
     latch = {"requested": pid == nproc - 1, "prev": None, "installed": False}
     term_ok = _global_term_requested(latch) is True
+
+    # 2b) experiment-path broadcast: every process must receive process
+    #     0's string (the versioned-dir race fix)
+    got = _broadcast_str("/exp/42" if pid == 0 else "")
+    term_ok = term_ok and got == "/exp/42"
 
     # 3) collective whole-image render: identical rays on every process,
     #    batch fed as a global mesh-sharded array, outputs gathered back
