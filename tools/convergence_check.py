@@ -324,12 +324,85 @@ def run_hard(iters: int = 10000) -> None:
     print("HARD CONVERGENCE OK", flush=True)
 
 
+def run_mip(iters: int = 4000) -> None:
+    """Mip-path end-to-end learning check: MipNeRFMoE + render_rays_mip
+    (the mission_bay-style configuration: use_mip on, bg off, radii in the
+    batch). The static parity tests pin the mip math to the reference;
+    this verifies the mip TRAINING path actually learns on hardware."""
+    os_, ds_, rgbs_ = [], [], []
+    for th in np.linspace(0, 2 * np.pi, 20, endpoint=False):
+        o, d = make_cam_rays(th)
+        os_.append(o)
+        ds_.append(d)
+        rgbs_.append(gt_sphere(o, d))
+    rays_o = np.concatenate(os_)
+    rays_d = np.concatenate(ds_)
+    gts = np.concatenate(rgbs_)
+    rays = np.concatenate(
+        [rays_o, rays_d,
+         np.full((rays_o.shape[0], 1), 0.5, np.float32),
+         np.full((rays_o.shape[0], 1), 4.0, np.float32)], -1)
+    # conical-frustum base radius: pixel footprint / focal * 2/sqrt(12)
+    radii = np.full((rays_o.shape[0], 1), 1.0 / 60.0 * 2 / np.sqrt(12),
+                    np.float32)
+
+    h = base_hparams()
+    h.use_mip = True
+    h.nerfmoe_class_name = "MipNeRFMoE"
+    h.moe_expert_num = 4
+    h.bg_nerf = False
+    h.appearance_dim = 0
+    h.pos_xyz_dim = 6
+    h.pos_dir_dim = 2
+    h.coarse_samples, h.fine_samples = 32, 32
+    h.model_chunk_size = 16384
+    h.batch_size = 2048
+    h.train_iterations = iters
+    h.lr = 5e-4
+    h.model = moe_graph(64, 4, 4, [2], 6, 2, 0)
+
+    model = get_nerf(h, appearance_count=1)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    cfg = render_config_from_hparams(h)
+    step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo(),
+                                   mip=True),
+                   donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    m = None
+    for it in range(1, h.train_iterations + 1):
+        idx = rng.integers(0, rays.shape[0], h.batch_size)
+        batch = {"rays": jnp.asarray(rays[idx]),
+                 "rgbs": jnp.asarray(gts[idx]),
+                 "radii": jnp.asarray(radii[idx])}
+        state, m = step(state, batch)
+        if it % 500 == 0:
+            print(f"iter {it}: psnr={float(m['psnr']):.2f} "
+                  f"loss={float(m['loss']):.5f} "
+                  f"gate={float(m.get('gate_loss', 0)):.3f}", flush=True)
+    train_time = time.time() - t0
+    print(f"train time {train_time:.0f}s", flush=True)
+    psnr = float(m["psnr"])
+    result = {"mode": "mip", "iters": iters, "final_psnr_db": round(psnr, 2),
+              "train_time_s": round(train_time, 1),
+              "device": str(jax.devices()[0]),
+              "thresholds": {"psnr_db": 21.0}}
+    out_path = pathlib.Path(__file__).parent / "convergence_mip_result.json"
+    out_path.write_text(json.dumps(result, indent=1))
+    print(f"wrote {out_path}")
+    assert psnr > 21, f"mip path did not converge: {psnr}"
+    print("MIP CONVERGENCE OK", flush=True)
+
+
 if __name__ == "__main__":
+    iters = None
+    for a in sys.argv[1:]:
+        if a.startswith("--iters="):
+            iters = int(a.split("=")[1])
     if "--hard" in sys.argv:
-        iters = 10000
-        for a in sys.argv[1:]:
-            if a.startswith("--iters="):
-                iters = int(a.split("=")[1])
-        run_hard(iters)
+        run_hard(iters or 10000)
+    elif "--mip" in sys.argv:
+        run_mip(iters or 4000)
     else:
         run_quick()
