@@ -224,11 +224,9 @@ class MoELayer(nn.Module):
         row_expert, order, sorted_gates = sort_with_payloads(flat_expert,
                                                              iota, gates_flat)
         row_token = order % s
-        # per-expert counts as a one-hot reduction (bincount lowers to
-        # scatter-add; the one-hot sum is a single MXU-friendly reduce)
-        counts = jnp.sum(
-            jax.nn.one_hot(flat_expert, self.num_experts,
-                           dtype=jnp.float32), axis=0).astype(jnp.int32)
+        # per-expert counts: the routing plan already computed the
+        # k-aggregated one-hot reduction (routing.py:extract_critical)
+        counts = plan.expert_counts
 
         xs = x[row_token]                                         # [K*S, M]
         if not (self.is_postscore or self.no_score):
@@ -236,9 +234,11 @@ class MoELayer(nn.Module):
 
         ys = experts.ragged(xs, counts, row_expert)               # [K*S, M]
 
-        # inverse permutation via a second payload sort (not argsort)
+        # inverse permutation via a second payload sort (not argsort);
+        # gather rows in their NATIVE dtype (half the bytes under bf16 on
+        # the gather-bandwidth-bound path), cast for the fp32 combine after
         _, inv = sort_with_payloads(order, iota)
-        rows = ys.astype(jnp.float32)[inv].reshape(k, s, -1)
+        rows = ys[inv].astype(jnp.float32).reshape(k, s, -1)
         scale = jnp.ones_like(plan.gates) if (self.no_score or not self.is_postscore) \
             else plan.gates
         return jnp.sum(rows * scale[..., None], axis=0)

@@ -75,11 +75,9 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
     """
     p, d = points.shape
     chunk = min(cfg.model_chunk_size, p)
-    n_chunks = -(-p // chunk)
-    pad = n_chunks * chunk - p
-    if pad:
-        points = jnp.concatenate([points, points[:1].repeat(pad, axis=0)], axis=0)
-    xs = points.reshape(n_chunks, chunk, d)
+    n_full = p // chunk
+    rem = p - n_full * chunk
+    n_chunks = n_full + (1 if rem else 0)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -102,17 +100,34 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
             "moe_plan", "moe_dispatched")
         one_chunk = jax.checkpoint(one_chunk, policy=policy)
 
-    if n_chunks == 1:
-        out, moe_loss = one_chunk(xs[0], chunk_rngs[0])
-        outs, moe_losses = out[None], moe_loss[None]
-    else:
-        def body(carry, x):
-            pts, crng = x
-            return carry, one_chunk(pts, crng)
-        _, (outs, moe_losses) = jax.lax.scan(body, None, (xs, chunk_rngs),
-                                             unroll=_SCAN_UNROLL)
+    # full-size chunks go through the scan; a non-dividing remainder runs
+    # as ONE exact-size call (the reference's smaller final chunk,
+    # _inference rendering.py:320-331) — padding it into the scan would
+    # route duplicate tokens, consuming expert capacity under BPR and
+    # biasing the load-balance loss
+    out_parts, moe_parts = [], []
+    if n_full:
+        xs = points[:n_full * chunk].reshape(n_full, chunk, d)
+        if n_full == 1:
+            out, moe_loss = one_chunk(xs[0], chunk_rngs[0])
+            outs, moe_losses = out[None], moe_loss[None]
+        else:
+            def body(carry, x):
+                pts, crng = x
+                return carry, one_chunk(pts, crng)
+            _, (outs, moe_losses) = jax.lax.scan(
+                body, None, (xs, chunk_rngs[:n_full]), unroll=_SCAN_UNROLL)
+        out_parts.append(outs.reshape(n_full * chunk, -1))
+        moe_parts.append(moe_losses)
+    if rem:
+        out_r, moe_r = one_chunk(points[n_full * chunk:], chunk_rngs[-1])
+        out_parts.append(out_r)
+        moe_parts.append(moe_r[None])
 
-    outputs = outs.reshape(n_chunks * chunk, -1)[:p]
+    outputs = out_parts[0] if len(out_parts) == 1 \
+        else jnp.concatenate(out_parts, axis=0)
+    moe_losses = moe_parts[0] if len(moe_parts) == 1 \
+        else jnp.concatenate(moe_parts, axis=0)
     return outputs, moe_losses
 
 
@@ -149,7 +164,7 @@ def _build_points(xyz: jnp.ndarray, rays_d: jnp.ndarray,
 
 
 def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
-               rays_d: jnp.ndarray, image_indices, last_delta: jnp.ndarray,
+               rays_d: jnp.ndarray, image_indices,
                cfg: RenderConfig, rng, train: bool, flip: bool,
                depth_real: Optional[jnp.ndarray]):
     """Run the model on [N, S] samples, return raw (rgbs, sigmas) + moe_loss.
@@ -186,12 +201,13 @@ def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
 
 def _composite(rgbs, sigmas, z_vals, last_delta, cfg: RenderConfig, flip: bool,
                depth_real=None, get_depth=False, get_depth_variance=False,
-               bkgd_rng=None):
+               bkgd_rng=None, composite_rgb: bool = True):
     background_color = None
     if cfg.use_random_background_color and bkgd_rng is not None:
         background_color = jax.random.uniform(bkgd_rng, (3,), jnp.float32)
     return volume_render(
-        rgbs, sigmas, z_vals, last_delta, flip=flip, composite_rgb=True,
+        rgbs, sigmas, z_vals, last_delta, flip=flip,
+        composite_rgb=composite_rgb,
         depth_real=depth_real, get_depth=get_depth,
         get_depth_variance=get_depth_variance, white_bkgd=cfg.white_bkgd,
         background_color=background_color)
@@ -228,6 +244,11 @@ def render_rays(model_fn: ModelFn,
         rng = jax.random.PRNGKey(0)
     (r_perturb_fg, r_perturb_bg, r_fine_fg, r_fine_bg, r_model_c, r_model_f,
      r_bg_c, r_bg_f, r_bkgd) = jax.random.split(rng, 9)
+    # the reference draws a FRESH torch.rand background color per composite
+    # call (coarse/fine, fg/bg all independent) — one subkey per site.
+    # Deliberate deviation: the draw is train-only here (reference also
+    # randomizes eval composites; our eval is deterministic by design).
+    rbk_fgc, rbk_fgf, rbk_bgc, rbk_bgf = jax.random.split(r_bkgd, 4)
 
     perturb = cfg.perturb if train else 0.0
     results: Dict[str, jnp.ndarray] = {}
@@ -253,8 +274,8 @@ def render_rays(model_fn: ModelFn,
             (bg_model_fn, bg_model_fn_fine), rays_o3, rays_d3,
             image_indices, cfg,
             sphere_center, sphere_radius,
-            (r_perturb_bg, r_fine_bg, r_bg_c, r_bg_f), train,
-            get_depth, get_depth_variance)
+            (r_perturb_bg, r_fine_bg, r_bg_c, r_bg_f, rbk_bgc, rbk_bgf),
+            train, get_depth, get_depth_variance)
 
     # ---------------- foreground coarse ------------------------------------
     z_steps = jnp.linspace(0.0, 1.0, cfg.coarse_samples, dtype=rays.dtype)
@@ -271,7 +292,7 @@ def render_rays(model_fn: ModelFn,
         return ld - diff[:, None]
 
     rgbs_c, sigmas_c, zv_c, _, moe_loss_c = _inference(
-        model_fn, xyz_coarse, z_vals, rays_d3, image_indices, last_delta,
+        model_fn, xyz_coarse, z_vals, rays_d3, image_indices,
         cfg, r_model_c, train, flip=False, depth_real=None)
     results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
 
@@ -297,9 +318,10 @@ def render_rays(model_fn: ModelFn,
     fine_total = cfg.fine_samples
     if fine_total > 0:
         # weights for importance sampling (raw coarse compositing)
-        vr_c = volume_render(rgbs_c, sigmas_c, zv_c,
-                             _adjust_last_delta(last_delta, zv_c),
-                             composite_rgb=cfg.use_cascade)
+        vr_c = _composite(rgbs_c, sigmas_c, zv_c,
+                          _adjust_last_delta(last_delta, zv_c), cfg,
+                          flip=False, composite_rgb=cfg.use_cascade,
+                          bkgd_rng=rbk_fgc if train else None)
         if cfg.use_cascade:
             results["rgb_coarse"] = vr_c.rgb
             if has_bg:
@@ -316,7 +338,7 @@ def render_rays(model_fn: ModelFn,
         xyz_fine = rays_o3 + rays_d3 * fine_z[..., None]
         rgbs_f, sigmas_f, zv_f, _, moe_loss_f = _inference(
             model_fn_fine, xyz_fine, fine_z, rays_d3, image_indices,
-            last_delta, cfg, r_model_f, train, flip=False, depth_real=None)
+            cfg, r_model_f, train, flip=False, depth_real=None)
         results["gate_loss_fine"] = moe_loss_f.reshape(-1)
 
         if not cfg.use_cascade:
@@ -339,7 +361,7 @@ def render_rays(model_fn: ModelFn,
                           _adjust_last_delta(last_delta, fine_z), cfg,
                           flip=False, get_depth=get_depth or has_bg,
                           get_depth_variance=get_depth_variance,
-                          bkgd_rng=r_bkgd if train else None)
+                          bkgd_rng=rbk_fgf if train else None)
         results["rgb_fine"] = vr_f.rgb
         if get_depth:
             results["depth_fine"] = vr_f.depth
@@ -352,7 +374,7 @@ def render_rays(model_fn: ModelFn,
                            _adjust_last_delta(last_delta, zv_c), cfg,
                            flip=False, get_depth=get_depth,
                            get_depth_variance=get_depth_variance,
-                           bkgd_rng=r_bkgd if train else None)
+                           bkgd_rng=rbk_fgc if train else None)
         results["rgb_coarse"] = vr_c2.rgb
         if get_depth:
             results["depth_coarse"] = vr_c2.depth
@@ -402,7 +424,7 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
     if cfg.bg_model_chunk_size:
         cfg = dataclasses.replace(
             cfg, model_chunk_size=cfg.bg_model_chunk_size)
-    r_perturb, r_fine, r_model_c, r_model_f = rngs
+    r_perturb, r_fine, r_model_c, r_model_f, r_bkgd_c, r_bkgd_f = rngs
     n_rays = rays_o3.shape[0]
     perturb = cfg.perturb if train else 0.0
     s_bg = cfg.coarse_samples // 2
@@ -417,14 +439,15 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
 
     results: Dict[str, jnp.ndarray] = {}
     rgbs_c, sigmas_c, zv_c, dr_c, moe_loss_c = _inference(
-        bg_model_fn, bg_pts, bg_z, rays_d3, image_indices, last_delta,
+        bg_model_fn, bg_pts, bg_z, rays_d3, image_indices,
         cfg, r_model_c, train, flip=True, depth_real=depth_real)
     results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
 
     fine_n = cfg.fine_samples // 2
     if cfg.fine_samples > 0:
-        vr_c = volume_render(rgbs_c, sigmas_c, zv_c, last_delta, flip=True,
-                             composite_rgb=cfg.use_cascade, depth_real=dr_c)
+        vr_c = _composite(rgbs_c, sigmas_c, zv_c, last_delta, cfg, flip=True,
+                          composite_rgb=cfg.use_cascade, depth_real=dr_c,
+                          bkgd_rng=r_bkgd_c if train else None)
         if cfg.use_cascade:
             results["rgb_coarse"] = vr_c.rgb
 
@@ -438,16 +461,20 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
         fine_z = sample_pdf(z_mid,
                             jax.lax.stop_gradient(vr_c.weights[:, 1:-1]),
                             fine_n, det=(perturb == 0), rng=r_fine)
+        # ascending order needed for depth2pts_outside — _inference flips
+        # again for compositing. The cascade merge-sort already yields
+        # ascending, so only the non-cascade branch (random sample_pdf
+        # draws come back unsorted) needs its own sort.
         if cfg.use_cascade:
-            fine_z = jnp.sort(jnp.concatenate([zv_c, fine_z], -1), axis=-1)
-        # fine_z follows the descending (flipped) bin order; sort ascending
-        # for depth2pts_outside — _inference flips again for compositing.
-        fine_z_asc = jnp.sort(fine_z, axis=-1)
+            fine_z_asc = jnp.sort(jnp.concatenate([zv_c, fine_z], -1),
+                                  axis=-1)
+        else:
+            fine_z_asc = jnp.sort(fine_z, axis=-1)
         bg_pts_f, depth_real_f = depth2pts_outside(rays_o3, rays_d3, fine_z_asc,
                                                    sphere_center, sphere_radius)
         rgbs_f, sigmas_f, zv_f, dr_f, moe_loss_f = _inference(
             bg_model_fn_fine, bg_pts_f, fine_z_asc, rays_d3, image_indices,
-            last_delta, cfg, r_model_f, train, flip=True, depth_real=depth_real_f)
+            cfg, r_model_f, train, flip=True, depth_real=depth_real_f)
         results["gate_loss_fine"] = moe_loss_f.reshape(-1)
 
         if not cfg.use_cascade:
@@ -461,18 +488,17 @@ def _render_background(bg_model_fns, rays_o3, rays_d3, image_indices,
         else:
             z_all, rgb_all, sig_all, dr_all = zv_f, rgbs_f, sigmas_f, dr_f
 
-        vr_f = volume_render(rgb_all, sig_all, z_all, last_delta, flip=True,
-                             composite_rgb=True, depth_real=dr_all,
-                             get_depth=get_depth,
-                             get_depth_variance=get_depth_variance,
-                             white_bkgd=cfg.white_bkgd)
+        vr_f = _composite(rgb_all, sig_all, z_all, last_delta, cfg, flip=True,
+                          depth_real=dr_all, get_depth=get_depth,
+                          get_depth_variance=get_depth_variance,
+                          bkgd_rng=r_bkgd_f if train else None)
         results["rgb_fine"] = vr_f.rgb
         if get_depth:
             results["depth_fine"] = vr_f.depth
     else:
-        vr = volume_render(rgbs_c, sigmas_c, zv_c, last_delta, flip=True,
-                           composite_rgb=True, depth_real=dr_c,
-                           get_depth=get_depth, white_bkgd=cfg.white_bkgd)
+        vr = _composite(rgbs_c, sigmas_c, zv_c, last_delta, cfg, flip=True,
+                        depth_real=dr_c, get_depth=get_depth,
+                        bkgd_rng=r_bkgd_c if train else None)
         results["rgb_coarse"] = vr.rgb
         if get_depth:
             results["depth_coarse"] = vr.depth

@@ -4,6 +4,13 @@ Parity target: switch_nerf/rendering_mip.py:15-425.
   * mip_cast_rays — conical-frustum (mean, diag-cov) per sample interval (:15-25)
   * sorted_piecewise_constant_pdf — blurred-weight resampling (:75-131)
   * rgb_padding (:383-384), z-val midpointing (:386), stop_level_grad (:227-228)
+  * sh_deg SH-coefficient color (:299-325)
+
+Deliberate deviations (documented): fine resampling is randomized only in
+training (the reference passes hparams.perturb unconditionally, making its
+EVAL stochastic when perturb>0 — rendering_mip.py:218); the random
+background color likewise draws train-only, with independent keys per
+coarse/fine composite. Eval here is deterministic by design.
 
 z_vals carry S+1 interval edges; the model evaluates S frustum means, and
 compositing runs over interval midpoints.
@@ -86,7 +93,7 @@ def sorted_piecewise_constant_pdf(bins, weights, num_samples, randomized,
 
 
 def _mip_inference(model_fn, means, cov_diags, z_edges, rays_d, image_indices,
-                   cfg: RenderConfig, rng, train, get_weights, get_depth,
+                   cfg: RenderConfig, rng, train, get_depth,
                    get_depth_variance, bkgd_rng=None):
     n, s, _ = means.shape
     parts = [jnp.concatenate([means, cov_diags], -1).reshape(n * s, 6)]
@@ -99,8 +106,19 @@ def _mip_inference(model_fn, means, cov_diags, z_edges, rays_d, image_indices,
 
     out, moe_loss = run_model_chunked(model_fn, pts, cfg, rng, train)
     out = out.reshape(n, s, -1)
-    rgbs = out[..., :3]
-    sigmas = out[..., 3]
+    if cfg.sh_deg is not None:
+        # SH-coefficient color head (reference rendering_mip.py:299-325):
+        # evaluate the harmonics along the view direction and sigmoid
+        from switch_nerf_tpu.ops.encoding import eval_sh
+        deg = cfg.sh_deg
+        rgb_dim = 3 * (deg + 1) ** 2
+        coeffs = out[..., :rgb_dim].reshape(n, s, 3, (deg + 1) ** 2)
+        dirs = jnp.broadcast_to(rays_d, (n, s, 3))
+        rgbs = jax.nn.sigmoid(eval_sh(deg, coeffs, dirs))
+        sigmas = out[..., rgb_dim]
+    else:
+        rgbs = out[..., :3]
+        sigmas = out[..., 3]
     if cfg.rgb_padding is not None:
         rgbs = rgbs * (1 + 2 * cfg.rgb_padding) - cfg.rgb_padding
 
@@ -132,7 +150,8 @@ def render_rays_mip(model_fn,
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    r_perturb, r_fine, r_model_c, r_model_f, r_bkgd = jax.random.split(rng, 5)
+    (r_perturb, r_fine, r_model_c, r_model_f,
+     r_bkgd_c, r_bkgd_f) = jax.random.split(rng, 6)
     perturb = cfg.perturb if train else 0.0
 
     z_steps = jnp.linspace(0.0, 1.0, cfg.coarse_samples, dtype=rays.dtype)
@@ -145,10 +164,10 @@ def render_rays_mip(model_fn,
     results: Dict[str, jnp.ndarray] = {}
     vr_c, moe_loss_c = _mip_inference(
         model_fn, means, cov_diags, z_vals, rays_d[:, None, :], image_indices,
-        cfg, r_model_c, train, get_weights=cfg.fine_samples > 0,
+        cfg, r_model_c, train,
         get_depth=(cfg.fine_samples == 0 and get_depth),
         get_depth_variance=(cfg.fine_samples == 0 and get_depth_variance),
-        bkgd_rng=r_bkgd if train else None)
+        bkgd_rng=r_bkgd_c if train else None)
     results["rgb_coarse"] = vr_c.rgb
     results["gate_loss_coarse"] = moe_loss_c.reshape(-1)
     if cfg.fine_samples == 0:
@@ -176,9 +195,9 @@ def render_rays_mip(model_fn,
     means_f, cov_diags_f = mip_cast_rays(rays_o, rays_d, radii, fine_z)
     vr_f, moe_loss_f = _mip_inference(
         model_fn, means_f, cov_diags_f, fine_z, rays_d[:, None, :],
-        image_indices, cfg, r_model_f, train, get_weights=False,
+        image_indices, cfg, r_model_f, train,
         get_depth=get_depth, get_depth_variance=get_depth_variance,
-        bkgd_rng=r_bkgd if train else None)
+        bkgd_rng=r_bkgd_f if train else None)
     results["rgb_fine"] = vr_f.rgb
     results["gate_loss_fine"] = moe_loss_f.reshape(-1)
     if get_depth:

@@ -1149,6 +1149,9 @@ class Runner:
         exporter over the in-memory NeRFDataset val split."""
         assert self.hparams.use_moe
         assert self.data_type == "nerf"
+        assert jax.process_count() == 1, (
+            "eval_points_nerf is a single-process offline tool "
+            "(see eval_points)")
         self.hparams.moe_return_gates = True
         self.nerf = get_nerf(self.hparams, self.appearance_count)
         state = self._load_eval_state()

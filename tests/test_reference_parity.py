@@ -705,8 +705,7 @@ def test_bg_fine_sampling_parity():
     rgbs_c, sigmas_c, zv_c, dr_c, _ = our_inf(
         make_model_fn(bg, bg_p, None, False), pts_j, bg_z_j,
         jnp.asarray(d)[:, None], jnp.zeros((n,)),
-        1e10 * jnp.ones((n, 1)), cfg, None, False, flip=True,
-        depth_real=dr_j)
+        cfg, None, False, flip=True, depth_real=dr_j)
     vr_c = volume_render(rgbs_c, sigmas_c, zv_c, 1e10 * jnp.ones((n, 1)),
                          flip=True, composite_rgb=False, depth_real=dr_c)
     z_mid_j = jnp.flip(0.5 * (zv_c[:, :-1] + zv_c[:, 1:]), axis=-1)

@@ -149,3 +149,36 @@ def test_mip_cast_rays_matches_reference_formula():
     want_mean = o[:, None, :] + d[:, None, :] * t_mean[..., None]
     np.testing.assert_allclose(np.asarray(mean), want_mean, rtol=1e-4, atol=1e-5)
     assert (np.asarray(cov) >= -1e-6).all()
+
+
+def test_run_model_chunked_remainder_runs_exact_size():
+    """A non-dividing model_chunk_size must process the remainder at its
+    exact size (reference's smaller final chunk) — NOT pad with duplicate
+    tokens, which would consume MoE capacity and bias the gate loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from switch_nerf_tpu.render.rendering import (RenderConfig,
+                                                  run_model_chunked)
+
+    seen_sizes = []
+
+    def model_fn(pts, sigma_noise, rng, train):
+        seen_sizes.append(pts.shape[0])
+        out = jnp.concatenate(
+            [pts[:, :3] * 2.0, jnp.sum(pts, axis=1, keepdims=True)], -1)
+        return out, jnp.zeros((0,), jnp.float32)
+
+    pts = jnp.asarray(np.random.default_rng(0).normal(0, 1, (100, 7)),
+                      jnp.float32)
+    cfg_small = RenderConfig(model_chunk_size=32, remat_chunks=False)
+    cfg_one = RenderConfig(model_chunk_size=128, remat_chunks=False)
+    out_small, ml_small = run_model_chunked(model_fn, pts, cfg_small,
+                                            None, False)
+    out_one, _ = run_model_chunked(model_fn, pts, cfg_one, None, False)
+    assert out_small.shape == (100, 4)
+    np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_one),
+                               rtol=1e-6, atol=1e-6)
+    # trace saw a full-size chunk and the exact 100-3*32=4-row remainder
+    assert 32 in seen_sizes and 4 in seen_sizes, seen_sizes
+    assert ml_small.shape[0] == 4        # 3 full + 1 remainder chunk rows
