@@ -68,19 +68,9 @@ def load_container(path) -> Tuple[object, Optional[object], dict, dict]:
         else None
 
     # template init to obtain the pytree structure, then overwrite
-    import jax.numpy as jnp
-    d_pts = (6 if h.use_mip else 3) + (3 if h.pos_dir_dim > 0 else 0) \
-        + (1 if h.appearance_dim > 0 else 0)
-    pts = jnp.zeros((4, d_pts), jnp.float32)
-    rng = jax.random.PRNGKey(0)
-    template = {"nerf": nerf.init({"params": rng, "gate_noise": rng},
-                                  pts)["params"]}
-    if bg is not None:
-        d_bg = 4 + (3 if h.pos_dir_dim > 0 else 0) \
-            + (1 if h.appearance_dim > 0 else 0)
-        template["bg_nerf"] = bg.init(
-            {"params": rng, "gate_noise": rng},
-            jnp.zeros((4, d_bg), jnp.float32))["params"]
+    # (shared with create_train_state — input-width formulas in one place)
+    from switch_nerf_tpu.trainer import init_params
+    template = init_params(jax.random.PRNGKey(0), h, nerf, bg)
     params = serialization.from_bytes(
         jax.device_get(template), (path / "params.msgpack").read_bytes())
     return nerf, bg, params, cfg

@@ -126,7 +126,12 @@ class BlockFilesystemDataset:
                                else int(process_count))
         self._global_rows = 0
         self._near, self._far = float(near), float(far)
+        # decoupled streams (see FilesystemDataset.__init__): writing /
+        # chunk-order / batch permutations must not share one advancing rng
         self._rng = np.random.default_rng(seed)
+        self._order_rng = np.random.default_rng([seed, 1])
+        self._batch_rng = np.random.default_rng([seed, 2])
+        self._batch_rng_pre_draw = self._batch_rng.bit_generator.state
         self._shuffle_chunk = shuffle_chunk
 
         self._tfrecord_paths = self._get_tfrecord_paths(data_path, list_path)
@@ -160,7 +165,7 @@ class BlockFilesystemDataset:
             p for p in root.iterdir()
             if p.is_dir() and p.name.startswith("chunk_"))
         if shuffle_chunk:
-            order = self._rng.permutation(len(self._chunk_paths))
+            order = self._order_rng.permutation(len(self._chunk_paths))
             self._chunk_paths = [self._chunk_paths[i] for i in order]
 
         self._chunk_index = 0
@@ -178,11 +183,22 @@ class BlockFilesystemDataset:
 
     # ------------------------------------------------------------- state --
     def get_state(self) -> str:
-        """Index of the chunk currently loaded (matches dataset_index)."""
-        return str(self._loaded_index)
+        """Resumable cursor: loaded chunk index + pre-draw batch-rng state
+        (see FilesystemDataset.get_state for the exact-resume rationale)."""
+        return json.dumps({"chunk": self._loaded_index,
+                           "batch_rng": self._batch_rng_pre_draw})
 
     def set_state(self, state: str) -> None:
-        self._chunk_index = int(state) % len(self._chunk_paths)
+        try:
+            st = json.loads(state)
+        except (json.JSONDecodeError, TypeError):
+            st = {"chunk": int(state)}          # legacy plain-index state
+        if isinstance(st, int):
+            st = {"chunk": st}
+        self._chunk_index = int(st["chunk"]) % len(self._chunk_paths)
+        if st.get("batch_rng") is not None:
+            self._batch_rng.bit_generator.state = st["batch_rng"]
+            self._batch_rng_pre_draw = st["batch_rng"]
         self._next = None
         self._start_prefetch()
 
@@ -231,7 +247,8 @@ class BlockFilesystemDataset:
         batch count derives from the global row count (see
         FilesystemDataset.sample_batches)."""
         n = len(self)
-        order = self._rng.permutation(n)
+        self._batch_rng_pre_draw = self._batch_rng.bit_generator.state
+        order = self._batch_rng.permutation(n)
         if self._process_count > 1:
             stop = (self._global_rows
                     // (batch_size * self._process_count)) * batch_size
@@ -244,6 +261,10 @@ class BlockFilesystemDataset:
     # ----------------------------------------------------------- writing --
     def _write_chunks(self, num_chunks: int, disk_flush_size: int,
                       scale_factor: int):
+        # pre-manifest chunk dirs are interrupted-write leftovers: remove
+        import shutil
+        for stale in self._chunk_dir.glob("chunk_*"):
+            shutil.rmtree(stale)
         for i in range(num_chunks):
             (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
         buffers: List[Dict[str, List[np.ndarray]]] = [
@@ -287,7 +308,12 @@ class BlockFilesystemDataset:
                     img = img[::scale_factor, ::scale_factor]
                     o = o[::scale_factor, ::scale_factor]
                     dirs = dirs[::scale_factor, ::scale_factor]
-                    radii = radii[::scale_factor, ::scale_factor]
+                    # subsampled pixels span scale_factor full-res pixels,
+                    # so the conical-frustum base radius grows accordingly
+                    # (the reference never downsamples; this keeps our
+                    # scale_factor extension physically consistent)
+                    radii = radii[::scale_factor, ::scale_factor] \
+                        * float(scale_factor)
                 rgbs = img.reshape(-1, 3)
                 raydata = np.concatenate(
                     [radii.reshape(-1, 1), o.reshape(-1, 3),

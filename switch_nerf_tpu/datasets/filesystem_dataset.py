@@ -63,7 +63,16 @@ class FilesystemDataset:
                                     if ray_altitude_range is not None else None)
         self._center_pixels = bool(center_pixels)
         self._shuffle_chunk = bool(shuffle_chunk)
+        # three DECOUPLED streams: _rng drives chunk WRITING (advances on
+        # the writer only), _order_rng the chunk-visit permutation, and
+        # _batch_rng the per-chunk batch permutations. Coupling them (one
+        # stream) made the chunk order depend on whether THIS process/run
+        # wrote the chunks — divergent orders across pod processes and
+        # across write-vs-reuse resumes.
         self._rng = np.random.default_rng(seed)
+        self._order_rng = np.random.default_rng([seed, 1])
+        self._batch_rng = np.random.default_rng([seed, 2])
+        self._batch_rng_pre_draw = self._batch_rng.bit_generator.state
 
         # one shared intrinsics set => store pixel indices instead of rays
         intrinsics = {tuple(np.round(m.intrinsics, 6)) + (m.W, m.H)
@@ -90,7 +99,7 @@ class FilesystemDataset:
             p for p in self._chunk_dir.iterdir()
             if p.is_dir() and p.name.startswith("chunk_"))
         if self._shuffle_chunk:
-            order = self._rng.permutation(len(self._chunk_paths))
+            order = self._order_rng.permutation(len(self._chunk_paths))
             self._chunk_paths = [self._chunk_paths[i] for i in order]
 
         self._chunk_index = 0
@@ -102,12 +111,26 @@ class FilesystemDataset:
 
     # ------------------------------------------------------------- state --
     def get_state(self) -> str:
-        """Index of the chunk currently loaded (the one whose batches the
-        checkpoint's dataset_index refers to) — NOT the prefetched one."""
-        return str(self._loaded_index)
+        """Resumable cursor: the loaded chunk index (the one whose batches
+        the checkpoint's dataset_index refers to — NOT the prefetched one)
+        plus the batch-rng state from BEFORE that chunk's permutation was
+        drawn, so a resumed run replays the IDENTICAL batch order and the
+        dataset_index fast-forward discards exactly the rows already
+        trained (reference exact-resume semantics, runner.py:142-151)."""
+        return json.dumps({"chunk": self._loaded_index,
+                           "batch_rng": self._batch_rng_pre_draw})
 
     def set_state(self, state: str) -> None:
-        self._chunk_index = int(state) % len(self._chunk_paths)
+        try:
+            st = json.loads(state)
+        except (json.JSONDecodeError, TypeError):
+            st = {"chunk": int(state)}          # legacy plain-index state
+        if isinstance(st, int):
+            st = {"chunk": st}
+        self._chunk_index = int(st["chunk"]) % len(self._chunk_paths)
+        if st.get("batch_rng") is not None:
+            self._batch_rng.bit_generator.state = st["batch_rng"]
+            self._batch_rng_pre_draw = st["batch_rng"]
         if self._next_chunk is not None:
             self._next_chunk.cancel()
         self._next_chunk = None
@@ -197,7 +220,8 @@ class FilesystemDataset:
         """
         from switch_nerf_tpu.native import gather_rows
         n = len(self)
-        order = self._rng.permutation(n)
+        self._batch_rng_pre_draw = self._batch_rng.bit_generator.state
+        order = self._batch_rng.permutation(n)
         if self._process_count > 1:
             stop = (self._global_rows
                     // (batch_size * self._process_count)) * batch_size
@@ -230,7 +254,22 @@ class FilesystemDataset:
             "center_pixels": self._center_pixels,
             "shared_intrinsics": self._shared_intrinsics,
             "paths": [str(m.image_path) for m in metadata_items[:16]],
+            # digest over EVERY item's path + pose + intrinsics: re-running
+            # camera registration (new c2w for the same files) must
+            # invalidate the cache, not silently reuse stale rays
+            "digest": self._items_digest(metadata_items),
         }
+
+    @staticmethod
+    def _items_digest(metadata_items) -> str:
+        import hashlib
+        h = hashlib.sha1()
+        for m in metadata_items:
+            h.update(str(m.image_path).encode())
+            h.update(np.ascontiguousarray(m.c2w, np.float32).tobytes())
+            h.update(np.ascontiguousarray(m.intrinsics, np.float32).tobytes())
+            h.update(np.int64(m.W).tobytes() + np.int64(m.H).tobytes())
+        return h.hexdigest()
 
     def _existing_chunk_dir(self, chunk_paths, metadata_items, num_chunks,
                             scale_factor) -> Optional[Path]:
@@ -248,6 +287,11 @@ class FilesystemDataset:
 
     def _write_chunks(self, metadata_items, num_chunks, scale_factor,
                       disk_flush_size):
+        # the manifest is written LAST, so any pre-existing chunk dirs are
+        # leftovers of an interrupted write (or a different num_chunks):
+        # remove them, or _read_chunk would concatenate stale part files
+        for stale in self._chunk_dir.glob("chunk_*"):
+            shutil.rmtree(stale)
         for i in range(num_chunks):
             (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
         buffers: List[Dict[str, List[np.ndarray]]] = [

@@ -103,11 +103,12 @@ def build_octree(occupied: np.ndarray, leaf_payload: Callable,
     # allocate internal nodes top-down (breadth-first)
     child_rows = []
     # queue entries: (level, cell coords) — level 0 is the root (1 cell)
+    import collections
     node_index = {(0, (0, 0, 0)): 0}
-    queue = [(0, (0, 0, 0))]
+    queue = collections.deque([(0, (0, 0, 0))])
     child_rows.append(np.full(8, -1, np.int64))
     while queue:
-        level, (cx, cy, cz) = queue.pop(0)
+        level, (cx, cy, cz) = queue.popleft()
         row = child_rows[node_index[(level, (cx, cy, cz))]]
         for code in range(8):
             dx, dy, dz = code >> 2 & 1, code >> 1 & 1, code & 1

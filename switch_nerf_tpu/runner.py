@@ -481,7 +481,8 @@ class Runner:
                     chunk_paths=[Path(x) for x in sorted(h.chunk_paths)],
                     num_chunks=h.num_chunks,
                     disk_flush_size=h.disk_flush_size,
-                    shuffle_chunk=h.shuffle_chunk)
+                    shuffle_chunk=h.shuffle_chunk,
+                    seed=h.random_seed)
             else:
                 dataset = FilesystemDataset(
                     self.train_items, self.near, self.far,

@@ -277,14 +277,22 @@ def make_eval_step(model, bg_model, hparams, render_cfg: RenderConfig,
     return eval_step
 
 
-def create_train_state(rng: jax.Array, hparams, model, bg_model,
-                       sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
-    """Initialise params for fg (+bg) models and the optimizer state."""
-    tx = create_optimizer(hparams)
-    r_init, r_bg, r_chain = jax.random.split(rng, 3)
+def init_params(rng: jax.Array, hparams, model, bg_model,
+                bg_rng: Optional[jax.Array] = None):
+    """Initialise (or template-init) the fg (+bg) parameter pytree.
+
+    Shared by create_train_state and container.load_container so the
+    input-width formulas live in exactly one place. Mip-ness follows the
+    same rule as get_nerf (model_utils.py:44): the MipNeRFMoE class name
+    alone selects the 6-wide (mean, cov) xyz input even when use_mip is
+    unset."""
+    r_init = rng
+    r_bg = bg_rng if bg_rng is not None else jax.random.fold_in(rng, 1)
+    class_name = getattr(hparams, "nerfmoe_class_name", "NeRFMoE") or "NeRFMoE"
+    use_mip = class_name == "MipNeRFMoE" or getattr(hparams, "use_mip", False)
 
     n_pts = 8
-    d_pts = (6 if hparams.use_mip else 3) \
+    d_pts = (6 if use_mip else 3) \
         + (3 if hparams.pos_dir_dim > 0 else 0) \
         + (1 if hparams.appearance_dim > 0 else 0)
     pts = jnp.zeros((n_pts, d_pts), jnp.float32)
@@ -297,7 +305,15 @@ def create_train_state(rng: jax.Array, hparams, model, bg_model,
         bg_pts = jnp.zeros((n_pts, d_bg), jnp.float32)
         params["bg_nerf"] = bg_model.init(
             {"params": r_bg, "gate_noise": r_bg}, bg_pts)["params"]
+    return params
 
+
+def create_train_state(rng: jax.Array, hparams, model, bg_model,
+                       sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+    """Initialise params for fg (+bg) models and the optimizer state."""
+    tx = create_optimizer(hparams)
+    r_init, r_bg, r_chain = jax.random.split(rng, 3)
+    params = init_params(r_init, hparams, model, bg_model, bg_rng=r_bg)
     opt_state = tx.init(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=opt_state, rng=r_chain, tx=tx)

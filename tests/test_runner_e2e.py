@@ -164,15 +164,30 @@ def test_filesystem_dataset_chunks(mega_dataset, tmp_path):
 
     # state round-trip: get_state identifies the chunk CURRENTLY loaded
     # (resume regression: a checkpoint's dataset_index refers to this chunk)
-    assert ds.get_state() == "0"
+    # and carries the pre-draw batch-rng state for exact batch replay
+    import json as _json
+    # checkpoint-time semantics: the state captured AFTER iterating a
+    # chunk's batches replays that same iteration on restore
+    batches_before = [b["rays"].copy() for b in ds.sample_batches(16)]
+    st0 = ds.get_state()
+    assert _json.loads(st0)["chunk"] == 0
     first = ds[0]["rays"].copy()
     ds.load_chunk()
-    assert ds.get_state() == "1"
-    ds.set_state("0")
+    assert _json.loads(ds.get_state())["chunk"] == 1
+    ds.set_state(st0)
     ds.load_chunk()
-    assert ds.get_state() == "0"
+    assert _json.loads(ds.get_state())["chunk"] == 0
     assert len(ds) == n0
     np.testing.assert_array_equal(ds[0]["rays"], first)
+    # restored batch-rng replays the IDENTICAL batch order (exact resume)
+    batches_after = [b["rays"] for b in ds.sample_batches(16)]
+    assert len(batches_before) == len(batches_after)
+    for a, b in zip(batches_before, batches_after):
+        np.testing.assert_array_equal(a, b)
+    # legacy plain-index states still resolve
+    ds.set_state("0")
+    ds.load_chunk()
+    assert _json.loads(ds.get_state())["chunk"] == 0
 
     # reuse across instances validates the manifest
     ds2 = FilesystemDataset(items, 0.05, 2.0, None, True,
