@@ -50,7 +50,7 @@ def main():
 
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                    donate_argnums=0)

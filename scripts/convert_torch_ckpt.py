@@ -148,7 +148,7 @@ def main():
 
     runner = Runner(hparams, set_experiment_path=False)
     state = create_train_state(runner.init_rng, hparams, runner.nerf,
-                               runner.bg_nerf, {})
+                               runner.bg_nerf)
 
     def to_np(sd):
         return {k: v.detach().cpu().numpy() for k, v in sd.items()

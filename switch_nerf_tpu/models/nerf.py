@@ -44,6 +44,15 @@ class NeRF(nn.Module):
         has_dir = self.pos_dir_dim > 0
         has_app = self.appearance_dim > 0
 
+        # static width validation (reference nerf.py:147-154): sigma-only
+        # calls pass bare xyz, full calls must carry dir/appearance columns
+        expected = xd + (3 if (has_dir and not sigma_only) else 0) \
+            + (1 if (has_app and not sigma_only) else 0)
+        if x.shape[-1] != expected:
+            raise ValueError(
+                f"Unexpected input shape {x.shape} (expected last dim "
+                f"{expected}, xyz_dim {xd})")
+
         input_xyz = freq_encode(x[:, :xd].astype(self.compute_dtype), self.pos_xyz_dim)
         h = input_xyz
         for i in range(self.layers):

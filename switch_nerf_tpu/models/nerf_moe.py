@@ -139,6 +139,19 @@ class NeRFMoE(nn.Module):
         has_dir = self.pos_dir_dim > 0
         has_app = self.appearance_dim > 0
 
+        # static input-width validation (reference nerf_moe.py:324-326
+        # 'Unexpected input shape'): without it, a missing appearance
+        # column would silently feed x[:, -1] (a viewdir component) into
+        # the embedding lookup
+        expected = xd + (3 if (has_dir and not sigma_only) else 0) \
+            + (1 if (has_app and not sigma_only) else 0)
+        if x.shape[-1] != expected:
+            raise ValueError(
+                f"Unexpected input shape {x.shape}: expected last dim "
+                f"{expected} = xyz({xd})"
+                + (" + dir(3)" if has_dir else "")
+                + (" + appearance(1)" if has_app else ""))
+
         xin = x[:, :xd].astype(self.compute_dtype)
         if self.use_mip:
             input_xyz = mip_encode(xin, self.pos_xyz_dim, input_dims=self.xyz_dim)
@@ -159,6 +172,7 @@ class NeRFMoE(nn.Module):
 
         moe_loss = []
         moe_gates = []
+        moe_gate_logits = []
         outputs = None
         sigma = None
 
@@ -172,6 +186,8 @@ class NeRFMoE(nn.Module):
                 moe_loss.append(l_aux)
                 if self.moe_return_gates:
                     moe_gates.append(gate_extras["gates"])
+                if self.moe_return_gate_logits:
+                    moe_gate_logits.append(gate_extras["gate_logits"])
             elif cfg["type"] == "dropout":
                 h = layer(h, deterministic=deterministic)
             else:
@@ -198,6 +214,11 @@ class NeRFMoE(nn.Module):
                 if sigma_noise is not None:
                     sigma = sigma + sigma_noise.astype(sigma.dtype)
                 sigma = self._sigma_act(sigma)
+                if sigma_only:
+                    # density-only query (octree extraction / distillation;
+                    # reference returns sigma right after the tap)
+                    outputs = sigma
+                    break
 
             if tag == dir_tag and has_dir:
                 parts = [h]
@@ -231,6 +252,8 @@ class NeRFMoE(nn.Module):
         extras = {}
         if self.moe_return_gates:
             extras["moe_gates"] = moe_gates
+        if self.moe_return_gate_logits and moe_gate_logits:
+            extras["moe_gate_logits"] = moe_gate_logits
         if moe_loss:
             extras["moe_loss"] = jnp.stack(moe_loss)
         return {"outputs": outputs, "extras": extras}

@@ -20,5 +20,5 @@ from switch_nerf_tpu.parallel.mesh import (
     expert_leaf_spec,
     shard_constraint,
     all_finite,
-    local_mesh_device_count,
+    global_mesh_device_count,
 )

@@ -28,7 +28,13 @@ def init_multi_host(coordinator_address: Optional[str] = None,
     (jax reads SLURM_* natively — no scontrol parsing needed, unlike
     tutel_communicate_nobatch.py:56-156).
     """
-    if jax.process_count() > 1:
+    # CRITICAL ordering: do NOT touch jax.process_count()/jax.devices()
+    # here — they initialize the XLA backend in single-process mode, after
+    # which jax.distributed.initialize() raises and every host would
+    # silently train as an independent single-process job. Check the
+    # distributed client state directly instead.
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
         return  # already initialised
     kwargs = {}
     if coordinator_address:
@@ -37,11 +43,18 @@ def init_multi_host(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:
-        # single-host runs (the common case) need no initialisation
-        pass
+    tpu_hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    multi = (bool(kwargs)
+             or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+             or bool(os.environ.get("COORDINATOR_ADDRESS"))
+             or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1")
+             or len(tpu_hosts) > 1)
+    if not multi:
+        return  # single-host run: no initialisation needed
+    # a multi-host launch was requested — failures must surface, not be
+    # swallowed (a silent fallback trains N independent copies)
+    jax.distributed.initialize(**kwargs)
 
 
 @contextlib.contextmanager

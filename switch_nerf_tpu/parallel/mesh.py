@@ -33,7 +33,8 @@ EXPERT_AXIS = "expert"
 _EXPERT_PATH_RE = re.compile(r"(^|/)experts(/|$)")
 
 
-def local_mesh_device_count() -> int:
+def global_mesh_device_count() -> int:
+    """Total devices across ALL processes (mesh sizing)."""
     return jax.device_count()
 
 
@@ -99,21 +100,28 @@ def expert_leaf_spec(path: str, leaf, num_experts: int,
     return P()
 
 
+def _key_path_str(kp) -> str:
+    """'/'-joined pytree key path (dict keys, sequence indices, and
+    namedtuple/dataclass attr names all handled — shared by the param and
+    opt-state sharding builders so their path grammar cannot drift)."""
+    out = []
+    for k in kp:
+        if hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "idx"):
+            out.append(str(k.idx))
+        elif hasattr(k, "name"):
+            out.append(str(k.name))
+        else:
+            out.append(str(k))
+    return "/".join(out)
+
+
 def param_shardings(params, mesh: Mesh, num_experts: int,
                     expert_parallel: bool, weight_parallel: bool = False):
     """NamedSharding tree for a parameter pytree."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_str(kp):
-        out = []
-        for k in kp:
-            if hasattr(k, "key"):
-                out.append(str(k.key))
-            elif hasattr(k, "idx"):
-                out.append(str(k.idx))
-            else:
-                out.append(str(k))
-        return "/".join(out)
+    path_str = _key_path_str
 
     specs = {path_str(kp): expert_leaf_spec(
         path_str(kp), v, num_experts, expert_parallel, weight_parallel,
@@ -142,19 +150,7 @@ def opt_state_shardings(opt_state, mesh: Mesh, num_experts: int,
     Adam update is elementwise.
     """
     flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
-
-    def path_str(kp):
-        out = []
-        for k in kp:
-            if hasattr(k, "key"):
-                out.append(str(k.key))
-            elif hasattr(k, "idx"):
-                out.append(str(k.idx))
-            elif hasattr(k, "name"):
-                out.append(str(k.name))
-            else:
-                out.append(str(k))
-        return "/".join(out)
+    path_str = _key_path_str
 
     def leaf_spec(path, leaf):
         spec = expert_leaf_spec(path, leaf, num_experts, expert_parallel,

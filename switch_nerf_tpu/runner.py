@@ -441,8 +441,7 @@ class Runner:
         term = _install_term_latch()
         scene = SceneInfo(self.sphere_center, self.sphere_radius)
         render_cfg = render_config_from_hparams(h)
-        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
-                                   {})
+        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf)
         main_log(f"Total parameters number is "
                  f"{count_parameters(state.params)/1024/1024:.4f} M")
 
@@ -645,7 +644,7 @@ class Runner:
         term = _install_term_latch()
         scene = SceneInfo(None, None)
         render_cfg = render_config_from_hparams(h)
-        state = create_train_state(self.init_rng, h, self.nerf, None, {})
+        state = create_train_state(self.init_rng, h, self.nerf, None)
         main_log(f"Total parameters number is "
                  f"{count_parameters(state.params)/1024/1024:.4f} M")
         if h.ckpt_path is not None:
@@ -691,8 +690,7 @@ class Runner:
     # ------------------------------------------------------------- eval ---
     def _load_eval_state(self):
         h = self.hparams
-        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf,
-                                   {})
+        state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf)
         assert h.ckpt_path is not None, "--ckpt_path required for eval"
         if jax.process_count() > 1:
             state = self._setup_device(state)

@@ -3,8 +3,8 @@
 Replaces the reference Runner's training engine (runner.py:476-760,
 1077-1259) with the JAX recipe:
 
-    state = create_train_state(rng, hparams, models, sample_batch, mesh)
-    train_step = make_train_step(models, hparams, render_cfg, scene)
+    state = create_train_state(rng, hparams, model, bg_model)
+    train_step = make_train_step(model, bg_model, hparams, render_cfg, scene)
     state, metrics = jit(train_step)(state, batch)   # SPMD over the mesh
 
 Parity notes:
@@ -63,15 +63,20 @@ class SceneInfo:
 
 
 def create_optimizer(hparams) -> optax.GradientTransformation:
+    acc = getattr(hparams, "accumulation_steps", 1) or 1
     if getattr(hparams, "no_optimizer_schedulers", False):
         schedule = hparams.lr
     else:
         gamma = hparams.lr_decay_factor ** (1.0 / hparams.train_iterations)
+        # under MultiSteps the schedule advances once per OPTIMIZER step
+        # while the reference steps ExponentialLR every micro-iteration
+        # (runner.py:692-693); gamma^acc per optimizer step gives the
+        # identical lr value at every application point
         schedule = optax.exponential_decay(
-            init_value=hparams.lr, transition_steps=1, decay_rate=gamma)
+            init_value=hparams.lr, transition_steps=1,
+            decay_rate=gamma ** acc)
     tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
-    acc = getattr(hparams, "accumulation_steps", 1)
-    if acc and acc > 1:
+    if acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=acc)
     return tx
 
@@ -103,8 +108,7 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
     )
 
 
-def make_model_fn(model, params, rng: Optional[jax.Array], train: bool,
-                  use_coarse: Optional[bool] = None):
+def make_model_fn(model, params, use_coarse: Optional[bool] = None):
     """Adapt a Flax module to the renderer's ModelFn contract:
     model_fn(points [P,D], sigma_noise, rng, train) -> (out [P,4], moe_loss [L]).
 
@@ -128,13 +132,17 @@ def make_model_fn(model, params, rng: Optional[jax.Array], train: bool,
     return model_fn
 
 
-def make_model_fn_pair(model, params, rng, train):
-    """(coarse_fn, fine_fn_or_None) — fine differs only for Cascade."""
+def make_model_fn_pair(model, params):
+    """(coarse_fn, fine_fn_or_None) — fine differs only for Cascade.
+
+    Model randomness (gate noise / dropout) is NOT threaded here: the
+    renderer supplies per-chunk keys through model_fn's mrng argument
+    (rendering.run_model_chunked splits the step key)."""
     from switch_nerf_tpu.models.cascade import Cascade
     if isinstance(model, Cascade):
-        return (make_model_fn(model, params, rng, train, use_coarse=True),
-                make_model_fn(model, params, rng, train, use_coarse=False))
-    return make_model_fn(model, params, rng, train), None
+        return (make_model_fn(model, params, use_coarse=True),
+                make_model_fn(model, params, use_coarse=False))
+    return make_model_fn(model, params), None
 
 
 def _mse(pred, target):
@@ -192,6 +200,22 @@ def compute_losses(results: Dict[str, jnp.ndarray], rgbs, hparams,
     return metrics
 
 
+def _reset_multisteps(opt_state):
+    """Zero a MultiSteps accumulator (mini_step + acc_grads) wherever it
+    appears in an optimizer-state pytree, leaving the inner state alone."""
+    def reset(node):
+        if isinstance(node, optax.MultiStepsState):
+            return node._replace(
+                mini_step=jnp.zeros_like(node.mini_step),
+                acc_grads=jax.tree_util.tree_map(jnp.zeros_like,
+                                                 node.acc_grads))
+        return node
+
+    return jax.tree_util.tree_map(
+        reset, opt_state,
+        is_leaf=lambda n: isinstance(n, optax.MultiStepsState))
+
+
 def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
                     scene: SceneInfo,
                     mip: bool = False) -> Callable:
@@ -203,9 +227,7 @@ def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
     check_finite = not getattr(hparams, "disable_check_finite", False)
 
     def loss_fn(params, batch, rng):
-        r_model, r_bg = jax.random.split(rng)
-        model_fn, model_fn_fine = make_model_fn_pair(
-            model, params["nerf"], r_model, True)
+        model_fn, model_fn_fine = make_model_fn_pair(model, params["nerf"])
         image_indices = batch.get("image_indices") \
             if hparams.appearance_dim > 0 else None
         if mip:
@@ -218,7 +240,7 @@ def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
             bg_fn, bg_fn_fine = None, None
             if bg_model is not None and "bg_nerf" in params:
                 bg_fn, bg_fn_fine = make_model_fn_pair(
-                    bg_model, params["bg_nerf"], r_bg, True)
+                    bg_model, params["bg_nerf"])
             results = render_rays(
                 model_fn, bg_fn, batch["rays"], image_indices, render_cfg,
                 scene.sphere_center, scene.sphere_radius, rng, train=True,
@@ -238,10 +260,22 @@ def make_train_step(model, bg_model, hparams, render_cfg: RenderConfig,
             # (perfect fit) is excluded like the reference.
             scalars = [v for k, v in metrics.items() if k != "psnr"]
             finite = jnp.stack([jnp.isfinite(s).all() for s in scalars]).all()
+
+            def _skip():
+                st = state.replace(rng=rng)
+                if getattr(hparams, "accumulation_steps", 1) > 1:
+                    # discard the whole accumulation window like the
+                    # reference's zero_grad + continue (runner.py:662-673):
+                    # keeping MultiSteps' partial acc_grads would let a
+                    # poisoned window complete and apply later
+                    st = st.replace(
+                        opt_state=_reset_multisteps(st.opt_state))
+                return st
+
             new_state = jax.lax.cond(
                 finite,
                 lambda: state.apply_gradients(grads).replace(rng=rng),
-                lambda: state.replace(rng=rng))
+                _skip)
             metrics = dict(metrics, finite=finite.astype(jnp.float32))
         else:
             new_state = state.apply_gradients(grads).replace(rng=rng)
@@ -254,8 +288,7 @@ def make_eval_step(model, bg_model, hparams, render_cfg: RenderConfig,
                    scene: SceneInfo, mip: bool = False) -> Callable:
     """eval_step(params, batch, rng) -> results dict (no grads, det=True)."""
     def eval_step(params, batch, rng=None):
-        model_fn, model_fn_fine = make_model_fn_pair(
-            model, params["nerf"], None, False)
+        model_fn, model_fn_fine = make_model_fn_pair(model, params["nerf"])
         image_indices = batch.get("image_indices") \
             if hparams.appearance_dim > 0 else None
         if mip:
@@ -265,7 +298,7 @@ def make_eval_step(model, bg_model, hparams, render_cfg: RenderConfig,
         bg_fn, bg_fn_fine = None, None
         if bg_model is not None and "bg_nerf" in params:
             bg_fn, bg_fn_fine = make_model_fn_pair(
-                bg_model, params["bg_nerf"], None, False)
+                bg_model, params["bg_nerf"])
         return render_rays(model_fn, bg_fn, batch["rays"], image_indices,
                            render_cfg, scene.sphere_center,
                            scene.sphere_radius, rng, train=False,
@@ -308,8 +341,8 @@ def init_params(rng: jax.Array, hparams, model, bg_model,
     return params
 
 
-def create_train_state(rng: jax.Array, hparams, model, bg_model,
-                       sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+def create_train_state(rng: jax.Array, hparams, model, bg_model
+                       ) -> TrainState:
     """Initialise params for fg (+bg) models and the optimizer state."""
     tx = create_optimizer(hparams)
     r_init, r_bg, r_chain = jax.random.split(rng, 3)

@@ -60,7 +60,7 @@ def main() -> None:
 
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     pshard = param_shardings(state.params, mesh, h.moe_expert_num, True)
 
     def to_device(st):
@@ -98,7 +98,7 @@ def main() -> None:
     save_checkpoint(ckpt_dir, state, dataset_state="3", dataset_index=7,
                     sharded=True)
     fresh = to_device(create_train_state(
-        jax.random.PRNGKey(1), h, model, bg_model, {}))
+        jax.random.PRNGKey(1), h, model, bg_model))
     restored, extra = load_checkpoint(ckpt_dir, fresh,
                                       restore_rng_states=False)
     diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(

@@ -110,7 +110,7 @@ def test_cascade_train_step():
     h.batch_size = 32
     h.amp = False
     model = get_nerf(h, 4)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     assert "coarse" in state.params["nerf"]
     assert "fine" in state.params["nerf"]
 

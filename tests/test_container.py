@@ -22,7 +22,7 @@ def test_container_roundtrip(tmp_path):
     h.bg_nerf = False
     h.amp = False
     model = get_nerf(h, appearance_count=4)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
 
     out = save_container(tmp_path / "container", h, state.params, 4,
                          scene={"near": 0.1, "far": 2.0})

@@ -80,3 +80,26 @@ def test_two_process_training_matches_single_process(tmp_path):
     for key in ("meter_ok", "term_ok", "eval_ok"):
         assert ref[key], f"single-process {key} failed"
         assert dist[key], f"2-process {key} failed"
+
+
+def test_init_multi_host_single_process_is_inert():
+    """init_multi_host must not touch the backend before deciding, must
+    no-op on single-host launches, and must leave jax fully usable —
+    regression for the process_count()-before-initialize() bug that made
+    every pod host silently train standalone."""
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from switch_nerf_tpu.parallel.host import init_multi_host\n"
+        "init_multi_host()\n"                 # BEFORE any jax operation
+        "import jax.numpy as jnp\n"
+        "assert jax.process_count() == 1\n"
+        "assert float(jnp.ones(3).sum()) == 3.0\n"
+        "print('INERT_OK')\n")
+    proc = subprocess.run([sys.executable, "-c", code], env=_clean_env(),
+                          cwd=str(_ROOT), stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "INERT_OK" in proc.stdout

@@ -320,8 +320,8 @@ def test_render_rays_parity():
     cfg = RenderConfig(coarse_samples=8, fine_samples=8, perturb=0.0,
                        model_chunk_size=4096, pos_dir_dim=1)
     res = render_rays(
-        make_model_fn(fg, fg_p, None, False),
-        make_model_fn(bg, bg_p, None, False),
+        make_model_fn(fg, fg_p),
+        make_model_fn(bg, bg_p),
         jnp.asarray(rays_np), jnp.asarray(idx_np), cfg,
         jnp.asarray(center), jnp.asarray(radius), None, train=False,
         get_depth=True)
@@ -478,7 +478,7 @@ def test_render_rays_mip_parity():
                        rgb_padding=0.001, weights_resample_padding=0.01,
                        stop_level_grad=True)
     res = render_rays_mip(
-        make_model_fn(ours, params, None, False), jnp.asarray(rays_np),
+        make_model_fn(ours, params), jnp.asarray(rays_np),
         jnp.asarray(radii_np), jnp.asarray(idx_np), cfg, None, train=False,
         get_depth=True)
     np.testing.assert_allclose(np.asarray(res["rgb_fine"]), want_rgb,
@@ -608,7 +608,7 @@ def test_convert_torch_ckpt_cli(tmp_path):
         "--model", json.dumps(graph)])
     h.moe_train_batch = h.moe_test_batch = True
     model = get_nerf(h, appearance_count=4)  # 3 train + 1 val images
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     state, _ = load_checkpoint(step_dir, state, restore_rng_states=False)
     assert int(state.step) == 7
 
@@ -703,7 +703,7 @@ def test_bg_fine_sampling_parity():
         jnp.asarray(o)[:, None], jnp.asarray(d)[:, None], bg_z_j,
         jnp.asarray(center), jnp.asarray(radius))
     rgbs_c, sigmas_c, zv_c, dr_c, _ = our_inf(
-        make_model_fn(bg, bg_p, None, False), pts_j, bg_z_j,
+        make_model_fn(bg, bg_p), pts_j, bg_z_j,
         jnp.asarray(d)[:, None], jnp.zeros((n,)),
         cfg, None, False, flip=True, depth_real=dr_j)
     vr_c = volume_render(rgbs_c, sigmas_c, zv_c, 1e10 * jnp.ones((n, 1)),

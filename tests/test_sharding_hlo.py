@@ -34,7 +34,7 @@ def _compiled_hlo(ep: int) -> str:
     h.batch_size = 64
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     step = make_train_step(model, bg_model, h, cfg, SceneInfo())
 

@@ -90,7 +90,7 @@ def run_steps(h, mesh_shape=(8, 1), n_steps=2, mip=False, bg=False,
               weight_parallel=False):
     model = get_nerf(h, appearance_count=4)
     bg_model = get_bg_nerf(h, appearance_count=4) if bg else None
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     scene = SceneInfo(
         sphere_center=jnp.zeros((3,)) if bg else None,
@@ -187,7 +187,7 @@ def test_finite_check_skips_step():
     """A poisoned batch (NaN target) must leave params untouched."""
     h = tiny_hparams()
     model = get_nerf(h, appearance_count=4)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()))
     batch = make_batch(jax.random.PRNGKey(1), n=h.batch_size)
@@ -237,7 +237,7 @@ def test_zero_optimizer_sharding_invariance():
     h.model = tiny_moe_graph()
 
     model = get_nerf(h, appearance_count=4)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()))
     mesh = create_mesh((4, 2))
@@ -295,3 +295,66 @@ def test_expert_weight_parallel_invariance():
                     and spec[-1] == "data":
                 found = True
     assert found, "no expert weight sharded (expert, ..., data)"
+
+
+def test_multisteps_lr_matches_per_microstep_reference():
+    """Under gradient accumulation the LR at each optimizer step must equal
+    the reference's per-micro-iteration ExponentialLR value (gamma^acc per
+    optimizer step — trainer.create_optimizer)."""
+    import optax
+    from switch_nerf_tpu.trainer import create_optimizer
+
+    h = tiny_hparams(accumulation_steps=4, lr=1e-3, lr_decay_factor=0.1,
+                     train_iterations=100)
+    tx = create_optimizer(h)
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((2,))}
+    for _ in range(8):                       # 8 micro = 2 optimizer steps
+        _, state = tx.update(grads, state, params)
+    count = int(state.inner_opt_state[0].count)   # schedule/Adam count
+    assert count == 2
+    gamma = 0.1 ** (1.0 / 100)
+    sched = optax.exponential_decay(1e-3, 1, gamma ** 4)
+    # after 2 optimizer steps the schedule sits at the 8-micro-iteration
+    # reference value
+    np.testing.assert_allclose(float(sched(count)), 1e-3 * gamma ** 8,
+                               rtol=1e-6)
+
+
+def test_nonfinite_skip_discards_accumulation_window():
+    """A NaN micro-batch must discard MultiSteps' partial acc_grads (the
+    reference zero_grads the whole window, runner.py:662-673)."""
+    import optax
+    from switch_nerf_tpu.trainer import _reset_multisteps
+
+    h = tiny_hparams(accumulation_steps=2, use_moe=True,
+                     use_moe_external_gate=True, moe_expert_num=4,
+                     moe_train_batch=True)
+    h.model = tiny_moe_graph()
+    model = get_nerf(h, appearance_count=4)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
+    cfg = render_config_from_hparams(h)
+    step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()))
+
+    good = make_batch(jax.random.PRNGKey(1), n=h.batch_size)
+    state, m = step(state, good)            # accumulates micro-grad 1
+    ms = state.opt_state
+    assert isinstance(ms, optax.MultiStepsState)
+    assert int(ms.mini_step) == 1
+    acc_norm = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(ms.acc_grads))
+    assert acc_norm > 0
+
+    bad = dict(good, rgbs=jnp.full_like(good["rgbs"], jnp.nan))
+    state, m = step(state, bad)             # NaN -> whole window discarded
+    assert float(m["finite"]) == 0.0
+    ms = state.opt_state
+    assert int(ms.mini_step) == 0
+    acc_after = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(ms.acc_grads))
+    assert acc_after == 0.0
+
+    # direct helper check too
+    reset = _reset_multisteps(state.opt_state)
+    assert int(reset.mini_step) == 0

@@ -35,7 +35,7 @@ def bench(moe_test_batch: bool, steps: int = 10) -> float:
     h.moe_test_batch = moe_test_batch      # -> eval_dispatch padded/nodrop
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_eval_step(model, bg_model, h, cfg, SceneInfo()))
     batch = _make_batch(h, h.batch_size)

@@ -37,7 +37,7 @@ def bench(batch_size: int, chunk: int, steps: int = 10) -> float:
     h.moe_test_batch = True                # padded (published eval flags)
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_eval_step(model, bg_model, h, cfg, SceneInfo()))
     batch = _make_batch(h, h.batch_size)

@@ -190,7 +190,7 @@ def run_quick() -> None:
     h.model = moe_graph(64, 4, 4, [2], 6, 2, 0)
 
     model = get_nerf(h, appearance_count=1)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo()),
                    donate_argnums=0)
@@ -250,7 +250,7 @@ def run_hard(iters: int = 10000) -> None:
 
     model = get_nerf(h, appearance_count=n_cams)
     bg_model = get_bg_nerf(h, n_cams)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     # fg sphere bound must contain the cameras (NeRF++ convention)
     scene = SceneInfo(sphere_center=jnp.zeros((3,)),
@@ -362,7 +362,7 @@ def run_mip(iters: int = 4000) -> None:
     h.model = moe_graph(64, 4, 4, [2], 6, 2, 0)
 
     model = get_nerf(h, appearance_count=1)
-    state = create_train_state(jax.random.PRNGKey(0), h, model, None, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo(),
                                    mip=True),

@@ -39,7 +39,7 @@ def build_step(bg: bool):
     h.bg_nerf = bg
     model = get_nerf(h, appearance_count=8)
     bg_model = get_bg_nerf(h, 8) if bg else None
-    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model, {})
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
     cfg = render_config_from_hparams(h)
     step = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                    donate_argnums=0)
