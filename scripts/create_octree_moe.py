@@ -55,25 +55,41 @@ def main():
     state = runner._load_eval_state()
     model = runner.nerf
     reso = 2 ** hparams.init_grid_depth
-    sh_dim = 3 * ((hparams.sh_deg + 1) ** 2) if hparams.sh_deg is not None \
-        else 3
     fmt = f"SH{(hparams.sh_deg + 1) ** 2}" if hparams.sh_deg is not None \
         else "RGBA"
 
-    def query(pts_np):
-        """pts [N, 3] -> model outputs [N, C] (appearance pinned)."""
-        parts = [jnp.asarray(pts_np, jnp.float32)]
+    @jax.jit
+    def _query_jit(params, pts_xyz):
+        parts = [pts_xyz]
         if hparams.pos_dir_dim > 0:
-            d = jnp.zeros_like(parts[0])
+            d = jnp.zeros_like(pts_xyz)
             d = d.at[:, 0].set(1.0)
             parts.append(d)
         if hparams.appearance_dim > 0:
-            parts.append(jnp.full((pts_np.shape[0], 1),
+            parts.append(jnp.full((pts_xyz.shape[0], 1),
                                   hparams.embedding_index, jnp.float32))
         pts = jnp.concatenate(parts, -1)
-        out = model.apply({"params": state.params["nerf"]}, pts,
-                          deterministic=True)
-        return np.asarray(out["outputs"] if isinstance(out, dict) else out)
+        out = model.apply({"params": params}, pts, deterministic=True)
+        return out["outputs"] if isinstance(out, dict) else out
+
+    def query(pts_np):
+        """pts [N, 3] -> model outputs [N, C] (appearance pinned).
+
+        jitted + padded to a fixed chunk: the 256^3 grid makes ~1000
+        calls, and eager dispatch (~1 ms/call through the remote tunnel)
+        would dominate extraction time (same pattern as the jitted
+        point_fn in runner._export_point_clouds)."""
+        n = pts_np.shape[0]
+        bs = hparams.model_chunk_size
+        pad = (-n) % bs
+        if pad:
+            pts_np = np.concatenate(
+                [pts_np, np.repeat(pts_np[-1:], pad, 0)], 0)
+        outs = [np.asarray(_query_jit(
+            state.params["nerf"],
+            jnp.asarray(pts_np[i:i + bs], jnp.float32)))
+            for i in range(0, pts_np.shape[0], bs)]
+        return np.concatenate(outs)[:n]
 
     # ---- step 0: auto-scale to the occupied bbox ---------------------------
     center = [0.0, 0.0, 0.0]
@@ -84,9 +100,7 @@ def main():
     sigma_thresh = sigma_threshold_from_alpha(hparams.scale_alpha_thresh,
                                               reso)
     pts = grid_points(center, radius, reso)
-    chunk = hparams.model_chunk_size
-    sig = np.concatenate([query(pts[i:i + chunk])[:, -1]
-                          for i in range(0, pts.shape[0], chunk)])
+    sig = query(pts)[:, -1]
     occ_pts = pts[sig >= sigma_thresh]
     if occ_pts.shape[0] == 0:
         raise SystemExit("no occupied cells above scale_alpha_thresh")
@@ -98,8 +112,7 @@ def main():
 
     # ---- step 1: grid eval + masking --------------------------------------
     pts = grid_points(center, radius, reso)
-    sig = np.concatenate([query(pts[i:i + chunk])[:, -1]
-                          for i in range(0, pts.shape[0], chunk)])
+    sig = query(pts)[:, -1]
     sigma_grid = sig.reshape(reso, reso, reso)
     if hparams.masking_mode == "sigma":
         thr = sigma_threshold_from_alpha(hparams.alpha_thresh, reso)
@@ -122,8 +135,7 @@ def main():
         offs = rng.random((n, spc, 3)).astype(np.float32)
         world = (cells[:, None, :] + offs) / reso * (2 * rad) + (cen - rad)
         flat = world.reshape(-1, 3)
-        outs = np.concatenate([query(flat[i:i + chunk])
-                               for i in range(0, flat.shape[0], chunk)])
+        outs = query(flat)
         outs = outs.reshape(n, spc, -1)
         return outs.mean(axis=1)
 

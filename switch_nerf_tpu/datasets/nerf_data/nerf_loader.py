@@ -126,6 +126,14 @@ class NeRFDataset:
             sf = args.scale_factor
             assert self.H % sf == 0 and self.W % sf == 0
             self.H, self.W = self.H // sf, self.W // sf
+            # Deliberate deviation (documented): the intrinsics AND the
+            # NDC focal are both scaled by sf, keeping the FoV constant
+            # under downsampling. The reference leaves K unscaled (its
+            # scaling lines are commented out, nerf_loader.py:139-141) and
+            # feeds the UNSCALED focal to ndc_rays (:158) — mutually
+            # inconsistent at sf>1 and unused by every published config
+            # (only bungee uses this loader family, with its own
+            # near/far path and no NDC).
             self.hwf = [self.H, self.W, focal / sf]
             self.K[:2, :] = self.K[:2, :] / sf
             images = np.stack([

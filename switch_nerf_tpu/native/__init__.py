@@ -124,6 +124,11 @@ def reconstruct_rays_native(directions: np.ndarray, c2ws: np.ndarray,
     directions = np.ascontiguousarray(directions, np.float32)
     c2ws = np.ascontiguousarray(c2ws, np.float32)
     pixel_idx = np.ascontiguousarray(pixel_idx, np.int64)
+    # int16 is the chunk format's index dtype (guarded at write time by
+    # dataset_utils INT16_MAX assert); re-check here so a direct caller
+    # can't silently wrap into out-of-bounds c2w reads
+    if np.asarray(image_idx).size and int(np.max(image_idx)) > 32767:
+        raise ValueError("image index exceeds int16 chunk format")
     image_idx = np.ascontiguousarray(image_idx, np.int16)
     n = pixel_idx.shape[0]
     out = np.empty((n, 8), np.float32)

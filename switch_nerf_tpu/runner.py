@@ -145,8 +145,12 @@ class Runner:
             self.model_path = self.experiment_path / "models"
             self.model_path.mkdir(parents=True, exist_ok=True)
             self.logger = setup_logger(None, self.experiment_path)
-            from switch_nerf_tpu.utils.tb import SummaryWriter
-            self.writer = SummaryWriter(self.experiment_path / "tb")
+            if jax.process_index() == 0:
+                # TensorBoard writer on process 0 only (reference logs
+                # from rank 0; per-process writers would duplicate every
+                # scalar into the shared tb dir)
+                from switch_nerf_tpu.utils.tb import SummaryWriter
+                self.writer = SummaryWriter(self.experiment_path / "tb")
             if jax.process_index() == 0:
                 (self.experiment_path / "hparams.txt").write_text(
                     str(vars(self.hparams)))
@@ -449,9 +453,11 @@ class Runner:
         if h.ckpt_path is not None and jax.process_count() == 1:
             state, extra = load_checkpoint(h.ckpt_path, state,
                                            h.resume_ckpt_state)
-            dataset_state = extra.get("dataset_state")
-            discard_index = extra.get("dataset_index", -1) \
-                if h.resume_ckpt_state else -1
+            if h.resume_ckpt_state:
+                # cursor restore is part of exact-resume only (reference
+                # gates set_state the same way, runner.py:538-539)
+                dataset_state = extra.get("dataset_state")
+                discard_index = extra.get("dataset_index", -1)
             main_log(f"Resumed from iteration {int(state.step)}")
 
         state = self._setup_device(state)
@@ -460,9 +466,9 @@ class Runner:
             # leaf directly on its target shards (no full tree per host)
             state, extra = load_checkpoint(h.ckpt_path, state,
                                            h.resume_ckpt_state)
-            dataset_state = extra.get("dataset_state")
-            discard_index = extra.get("dataset_index", -1) \
-                if h.resume_ckpt_state else -1
+            if h.resume_ckpt_state:
+                dataset_state = extra.get("dataset_state")
+                discard_index = extra.get("dataset_index", -1)
             main_log(f"Resumed from iteration {int(state.step)}")
         train_step = jax.jit(make_train_step(
             self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip),
@@ -522,6 +528,12 @@ class Runner:
                              f"process count {jax.process_count()}")
         feed_bs = (h.batch_size // jax.process_count() if local_feed
                    else h.batch_size)
+        if h.dataset_type != "filesystem":
+            # discard-fast-forward only makes sense for the chunked
+            # filesystem enumerator (the memory sampler is endless and
+            # reseeded from seed+step — skipping ~500k sampled batches on
+            # resume would stall for hours for nothing)
+            discard_index = -1
 
         while train_iterations < h.train_iterations:
             if h.dataset_type == "filesystem":
@@ -562,8 +574,10 @@ class Runner:
                         trace_active = True
                     elif trace_active \
                             and train_iterations == h.profile_trace_step + 3:
-                        jax.tree_util.tree_map(
-                            lambda x: x.block_until_ready(), m)
+                        # float() forces a REAL device sync (through the
+                        # remote-execution tunnel block_until_ready returns
+                        # at submission) so the trace captures all 3 steps
+                        float(m["loss"])
                         jax.profiler.stop_trace()
                         trace_active = False
                         main_log(f"profiler trace written to "
@@ -608,12 +622,22 @@ class Runner:
                 if train_iterations % h.val_interval == 0:
                     self._run_validation_image(state)
 
-                if _global_term_requested(term):
+                # multi-process: the agreement allgather would host-sync
+                # every step, so check on a fixed cadence (every process
+                # tests at the same loop points — any fixed cadence keeps
+                # the agreement property; ≤10 extra steps of latency is
+                # nothing against a preemption grace window)
+                check_term = (jax.process_count() == 1
+                              or train_iterations % 10 == 0)
+                if check_term and _global_term_requested(term):
                     # preemption: save a fully resumable checkpoint (RNG
                     # chain + dataset cursor) and exit cleanly. The global
                     # OR above makes every process exit at the same step,
                     # so the (possibly collective, orbax) save is SPMD-safe.
-                    _release_term_latch(term)
+                    # The latch stays installed until AFTER the save: a
+                    # re-delivered SIGTERM during the (multi-second,
+                    # possibly collective) write must not kill the process
+                    # mid-checkpoint.
                     if trace_active:
                         jax.profiler.stop_trace()
                     if self.model_path is not None:
@@ -625,6 +649,7 @@ class Runner:
                             dataset_index=dataset_index, keep=h.ckpt_keep)
                     main_log(f"SIGTERM: checkpoint saved at iteration "
                              f"{train_iterations}; exiting")
+                    _release_term_latch(term)
                     return state
 
                 if train_iterations >= h.train_iterations:
@@ -674,12 +699,15 @@ class Runner:
             if self.model_path is not None and \
                     train_iterations % h.ckpt_interval == 0:
                 save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
-            if _global_term_requested(term):
-                _release_term_latch(term)
+            check_term = (jax.process_count() == 1
+                          or train_iterations % 10 == 0)
+            if check_term and _global_term_requested(term):
+                # latch released only AFTER the save (see train())
                 if self.model_path is not None:
                     save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
                 main_log(f"SIGTERM: checkpoint saved at iteration "
                          f"{train_iterations}; exiting")
+                _release_term_latch(term)
                 return state
         _release_term_latch(term)
         if self.model_path is not None:

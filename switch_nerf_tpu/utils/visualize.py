@@ -16,9 +16,10 @@ def visualize_scalars(scalar_tensor: np.ndarray) -> np.ndarray:
     while to_use.ndim > 2:
         to_use = to_use[..., 0]
 
-    mask = to_use > 0
-    if mask.any():
-        to_use[mask] = np.log(to_use[mask])
+    # reference semantics (runner.py:3013): log(d + 1e-8) over ALL pixels
+    # — zero depths must land at the LOW extreme, not at raw 0 (which in
+    # pose-normalized scenes, all depths < 1, would be the HIGH extreme)
+    to_use = np.log(np.maximum(to_use, 0.0) + 1e-8)
     lo, hi = np.quantile(to_use, [0.05, 0.95])
     scale = max(hi - lo, 1e-10)
     norm = np.clip((to_use - lo) / scale, 0.0, 1.0)
