@@ -22,14 +22,17 @@ from switch_nerf_tpu.utils.ply import read_ply_points, write_ply_points  # noqa:
 
 
 def merge(data_path: Path, save_dir: Path, down_scale: float,
-          expert_num: int, typ: str = "coarse", seed: int = 0):
+          expert_num: int, typ: str = "coarse", seed: int = 0,
+          topk: int = 0):
+    """topk selects which gate slot's clouds to merge (reference
+    merge_points.py exposes --topk; top-1 gates only ever write slot 0)."""
     rng = np.random.default_rng(seed)
     save_dir.mkdir(parents=True, exist_ok=True)
     image_dirs = sorted(p for p in data_path.iterdir() if p.is_dir())
 
     patterns = {"all": f"*_{typ}_pts_rgba.ply"}
     for e in range(expert_num):
-        patterns[f"exp_{e}"] = f"*_{typ}_pts_rgba_top_0_exp_{e}.ply"
+        patterns[f"exp_{e}"] = f"*_{typ}_pts_rgba_top_{topk}_exp_{e}.ply"
 
     for name, pattern in patterns.items():
         xyzs, rgbas = [], []
@@ -59,9 +62,11 @@ def main():
     p.add_argument("--moe_expert_num", type=int, default=8)
     p.add_argument("--typ", type=str, default="coarse")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--topk", type=int, default=0,
+                   help="gate slot to merge (reference --topk)")
     args = p.parse_args()
     merge(Path(args.data_path), Path(args.merge_save_dir), args.down_scale,
-          args.moe_expert_num, args.typ, args.seed)
+          args.moe_expert_num, args.typ, args.seed, topk=args.topk)
 
 
 if __name__ == "__main__":

@@ -8,9 +8,10 @@ dataset_index/dataset chunk id. Our equivalent:
 
     <dir>/<step>/state.msgpack     flax-serialized TrainState pytree
                                    (params + opt_state + step + jax PRNG key)
-    <dir>/<step>/extra.json        dataset_state (chunk id), dataset_index,
+    <dir>/<step>/extra.json        dataset_state (chunk cursor), dataset_index,
                                    np_random_state, python random state,
-                                   hparams fingerprint
+                                   param_fingerprint (architecture check:
+                                   sha1 over param paths/shapes/dtypes)
 
 There is no GradScaler (bf16 needs none). The jax PRNG key chain *is* the
 torch/np RNG replacement on the device side; the numpy/python states cover
@@ -42,6 +43,19 @@ def _state_tree(state):
             "opt_state": state.opt_state, "rng": state.rng}
 
 
+def _param_fingerprint(params) -> str:
+    """sha1 over every param leaf's (path, shape, dtype) — an architecture
+    fingerprint so a mismatched resume fails with a clear message instead
+    of a raw serialization shape error."""
+    import hashlib
+    h = hashlib.sha1()
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        h.update(jax.tree_util.keystr(kp).encode())
+        h.update(str(tuple(getattr(leaf, "shape", ()))).encode())
+        h.update(str(getattr(leaf, "dtype", "?")).encode())
+    return h.hexdigest()
+
+
 def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
                     dataset_index: int = -1, keep: int = 0,
                     sharded: Optional[bool] = None) -> Path:
@@ -55,31 +69,47 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
         sharded = jax.process_count() > 1
     step = int(state.step)
     path = Path(ckpt_dir) / str(step)
-    if jax.process_index() == 0:
-        path.mkdir(parents=True, exist_ok=True)
+
+    extra = {
+        "iteration": step,
+        "dataset_state": dataset_state,
+        "dataset_index": dataset_index,
+        "param_fingerprint": _param_fingerprint(state.params),
+        "np_random_state": base64.b64encode(
+            pickle.dumps(np.random.get_state())).decode(),
+        "python_random_state": base64.b64encode(
+            pickle.dumps(random.getstate())).decode(),
+    }
 
     if sharded:
+        # orbax commits its own data atomically (collective save blocks
+        # until every process finished); extra.json — written LAST by
+        # process 0 — is the commit marker latest_checkpoint requires
+        if jax.process_index() == 0:
+            path.mkdir(parents=True, exist_ok=True)
         import orbax.checkpoint as ocp
         target = path.resolve() / "orbax"
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target, _state_tree(state), force=True)
+        if jax.process_index() == 0:
+            (path / "extra.json").write_text(json.dumps(extra))
     else:
+        # atomic publish: write into a temp dir, rename into place — a
+        # crash mid-save must never leave a half checkpoint that the next
+        # auto-resume picks as "latest"
+        tmp = Path(ckpt_dir) / f".tmp_{step}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
         host_state = jax.device_get(_state_tree(state))
-        (path / "state.msgpack").write_bytes(
+        (tmp / "state.msgpack").write_bytes(
             serialization.to_bytes(host_state))
+        (tmp / "extra.json").write_text(json.dumps(extra))
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
 
     if jax.process_index() == 0:
-        extra = {
-            "iteration": step,
-            "dataset_state": dataset_state,
-            "dataset_index": dataset_index,
-            "np_random_state": base64.b64encode(
-                pickle.dumps(np.random.get_state())).decode(),
-            "python_random_state": base64.b64encode(
-                pickle.dumps(random.getstate())).decode(),
-        }
-        (path / "extra.json").write_text(json.dumps(extra))
-
         if keep > 0:
             steps = sorted((int(p.name) for p in Path(ckpt_dir).iterdir()
                             if p.name.isdigit()), reverse=True)
@@ -90,11 +120,15 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    """Newest COMMITTED step dir: extra.json is written last (msgpack
+    saves publish by atomic rename), so a dir without it is a partial
+    save from a crash and must be skipped, not resumed."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
     steps = sorted((int(p.name) for p in ckpt_dir.iterdir()
-                    if p.name.isdigit()))
+                    if p.name.isdigit()
+                    and (p / "extra.json").exists()))
     return ckpt_dir / str(steps[-1]) if steps else None
 
 
@@ -112,6 +146,19 @@ def load_checkpoint(path, state, restore_rng_states: bool = True
         step_dir = latest_checkpoint(path)
         if step_dir is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
+
+    # early architecture check: a clear message beats a raw serialization
+    # shape error deep inside from_bytes/orbax
+    extra_path = step_dir / "extra.json"
+    if extra_path.exists():
+        want = json.loads(extra_path.read_text()).get("param_fingerprint")
+        have = _param_fingerprint(state.params)
+        if want is not None and want != have:
+            raise ValueError(
+                f"checkpoint {step_dir} was saved with a different model "
+                "architecture (param path/shape/dtype fingerprint "
+                f"mismatch: ckpt {want[:12]}… vs template {have[:12]}…); "
+                "check the model graph / width / expert-count hparams")
 
     if (step_dir / "orbax").exists():
         # sharded (orbax) format: restore each leaf onto the template's

@@ -297,11 +297,35 @@ def _apply_yaml_defaults(parser: argparse.ArgumentParser,
                                argparse._StoreFalseAction)):
             if val:
                 defaults[action.dest] = action.const
-        elif action.type is not None and isinstance(val, str):
-            defaults[action.dest] = action.type(val)
-        else:
-            defaults[action.dest] = val
+            continue
+        if action.nargs in ("+", "*") and not isinstance(val, (list, tuple)):
+            # configargparse re-tokenizes scalars for list options — a
+            # YAML `chunk_paths: /data/c` must become ['/data/c'], not a
+            # string that later iterates character-by-character
+            val = [val]
+        if action.type is not None:
+            if isinstance(val, (list, tuple)):
+                val = [action.type(v) if isinstance(v, str) else v
+                       for v in val]
+            elif isinstance(val, str):
+                val = action.type(val)
+        # argparse validates `choices` only for command-line tokens, never
+        # for defaults — enforce it here so a typo'd YAML value fails at
+        # parse time naming the key, not deep inside the runner
+        if action.choices is not None:
+            vals = val if isinstance(val, (list, tuple)) else [val]
+            for v in vals:
+                if v not in action.choices:
+                    raise ValueError(
+                        f"config key {key!r} in {cfg_path}: invalid value "
+                        f"{v!r} (choose from {sorted(action.choices)})")
+        defaults[action.dest] = val
     parser.set_defaults(**defaults)
+    # a value supplied by the YAML satisfies a `required` option
+    # (configargparse semantics: config-file values count)
+    for a in parser._actions:
+        if getattr(a, "required", False) and a.dest in defaults:
+            a.required = False
     return argv
 
 

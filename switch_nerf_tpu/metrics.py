@@ -129,7 +129,11 @@ def _resolve_lpips_weights() -> Optional[str]:
 
 
 def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
-    """LPIPS(vgg/alex/squeeze), always available out of the box.
+    """LPIPS(vgg/alex/squeeze) over [0, 1] images, always available.
+
+    Input contract matches the reference exactly (metrics.py:13-27 calls
+    the lpips package with normalize=True, i.e. [0, 1] inputs); the
+    [-1, 1] scaling the backbones expect happens HERE, not at call sites.
 
     Reference: metrics.py:13-27 uses the lpips pip package with pretrained
     torchvision backbones. With converted weights (.npz via
@@ -144,6 +148,8 @@ def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
     entries instead (strict published-protocol mode).
     """
     from switch_nerf_tpu import lpips_jax as L  # lazy import
+    rgbs = np.asarray(rgbs, np.float32) * 2.0 - 1.0
+    target_rgbs = np.asarray(target_rgbs, np.float32) * 2.0 - 1.0
     weights_path = _resolve_lpips_weights()
     if weights_path is not None:
         return L.lpips_all(np.asarray(rgbs), np.asarray(target_rgbs),

@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from switch_nerf_tpu.models.common import TorchLinear
 from switch_nerf_tpu.models.experts import ExpertMLP
-from switch_nerf_tpu.ops.routing import extract_critical, load_importance_loss, load_balance
+from switch_nerf_tpu.ops.routing import extract_critical, load_importance_loss
 from switch_nerf_tpu.ops.dispatch import build_dispatch_plan, dispatch, combine
 
 
@@ -106,8 +106,11 @@ class MoELayer(nn.Module):
 
         extras = {}
         if self.use_load_importance_loss:
-            plan, _ = extract_critical(gates, self.top_k, self.capacity_factor,
-                                       self.batch_prioritized_routing)
+            # extract_critical's second return IS the load-balance value
+            # (same gates + top-1 mask) — reuse it instead of rebuilding
+            plan, balance = extract_critical(
+                gates, self.top_k, self.capacity_factor,
+                self.batch_prioritized_routing)
             gates_wo_noise = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
             # plan.indices already holds the top-k expert ids ([K, S])
             topk_logits = jnp.take_along_axis(
@@ -116,8 +119,7 @@ class MoELayer(nn.Module):
             l_aux = load_importance_loss(gates_wo_noise, topk_logits, e,
                                          self.gate_noise)
             if self.compute_balance_loss:
-                mask1 = jax.nn.one_hot(plan.indices[0], e, dtype=jnp.float32)
-                extras["balance_loss"] = load_balance(gates, mask1, e)
+                extras["balance_loss"] = balance
         else:
             plan, l_aux = extract_critical(gates, self.top_k, self.capacity_factor,
                                            self.batch_prioritized_routing)

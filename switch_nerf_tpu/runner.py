@@ -833,7 +833,8 @@ class Runner:
         pred_r, gt_r = pred[:, half:], gt[:, half:]
         out = {"psnr": M.psnr(jnp.asarray(pred_r), jnp.asarray(gt_r)),
                "ssim": M.ssim(pred_r, gt_r, 1.0)}
-        for k, v in M.lpips(pred_r * 2 - 1, gt_r * 2 - 1).items():
+        # [0, 1] inputs — the reference contract; metrics.lpips scales
+        for k, v in M.lpips(pred_r, gt_r).items():
             if v is not None:
                 out[f"lpips-{k}"] = v
         return out

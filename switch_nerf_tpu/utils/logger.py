@@ -31,7 +31,10 @@ def setup_logger(name: Optional[str], log_dir, timestamp: bool = False
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
     logger.addHandler(sh)
-    if log_dir is not None:
+    if log_dir is not None and _is_main():
+        # FileHandler on process 0 only: every host writes to the SAME
+        # shared log.txt, and root-propagated records (library warnings)
+        # are not main-gated — N interleaved copies otherwise
         Path(log_dir).mkdir(parents=True, exist_ok=True)
         fh = logging.FileHandler(Path(log_dir) / "log.txt")
         fh.setFormatter(fmt)

@@ -1,0 +1,53 @@
+"""Config-system semantics: YAML folding must behave like the reference's
+configargparse (opts.py uses YAMLConfigFileParser).
+
+Covers the round-2 review findings: scalar YAML values for nargs='+'
+options, YAML satisfying `required` options, and choices validation for
+YAML-supplied values.
+"""
+import pytest
+
+from switch_nerf_tpu.config import get_opts, parse_args
+
+
+def _cfg(tmp_path, text):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+BASE = ["--exp_name", "/tmp/e", "--dataset_path", "/tmp/d"]
+
+
+def test_yaml_scalar_listified_for_nargs(tmp_path):
+    cfg = _cfg(tmp_path, "chunk_paths: /data/chunks\nskip_layers: 4\n")
+    h = parse_args(get_opts(), BASE + ["--config_file", cfg])
+    assert h.chunk_paths == ["/data/chunks"]      # NOT a bare string
+    assert h.skip_layers == [4]
+
+
+def test_yaml_satisfies_required_options(tmp_path):
+    cfg = _cfg(tmp_path, "exp_name: /tmp/e\ndataset_path: /tmp/d\n")
+    h = parse_args(get_opts(), ["--config_file", cfg])
+    assert h.exp_name == "/tmp/e" and h.dataset_path == "/tmp/d"
+
+
+def test_yaml_value_validated_against_choices(tmp_path):
+    cfg = _cfg(tmp_path, "dataset_type: tfrecord\n")   # typo'd choice
+    with pytest.raises(ValueError, match="dataset_type"):
+        parse_args(get_opts(), BASE + ["--config_file", cfg])
+
+
+def test_unknown_yaml_key_still_raises(tmp_path):
+    cfg = _cfg(tmp_path, "not_a_flag: 1\n")
+    with pytest.raises(ValueError, match="not_a_flag"):
+        parse_args(get_opts(), BASE + ["--config_file", cfg])
+
+
+def test_cli_still_overrides_yaml(tmp_path):
+    cfg = _cfg(tmp_path, "batch_size: 123\n")
+    h = parse_args(get_opts(),
+                   BASE + ["--config_file", cfg, "--batch_size", "55"])
+    assert h.batch_size == 55
+    h2 = parse_args(get_opts(), BASE + ["--config_file", cfg])
+    assert h2.batch_size == 123

@@ -119,8 +119,10 @@ def test_metrics_lpips_substitute_fallback(monkeypatch):
     monkeypatch.delenv("SWITCH_NERF_LPIPS_WEIGHTS", raising=False)
     monkeypatch.setattr(M, "_LPIPS_DEFAULT_PATH", "/nonexistent/lpips.npz")
     rng = np.random.default_rng(2)
-    img0 = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
-    img1 = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
+    # [0, 1] images: metrics.lpips follows the reference's
+    # normalize=True contract and scales to [-1, 1] internally
+    img0 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
 
     res = M.lpips(img0, img1)
     assert set(res) == {"vgg", "alex", "squeeze"}

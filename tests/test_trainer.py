@@ -358,3 +358,33 @@ def test_nonfinite_skip_discards_accumulation_window():
     # direct helper check too
     reset = _reset_multisteps(state.opt_state)
     assert int(reset.mini_step) == 0
+
+
+def test_checkpoint_partial_dir_skipped_and_fingerprint_checked(tmp_path):
+    """A crash-truncated checkpoint dir (no extra.json) must be skipped by
+    latest_checkpoint, and restoring into a different architecture must
+    fail with the explicit fingerprint error."""
+    import pytest
+    from switch_nerf_tpu.checkpoints import (latest_checkpoint,
+                                             load_checkpoint,
+                                             save_checkpoint)
+
+    h = tiny_hparams()
+    model = get_nerf(h, appearance_count=4)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
+
+    good = save_checkpoint(tmp_path, state)           # step 0, committed
+    assert (good / "extra.json").exists()
+    # simulate a crash: a higher-step dir with no contents
+    (tmp_path / "999").mkdir()
+    assert latest_checkpoint(tmp_path) == good        # partial dir skipped
+    restored, extra = load_checkpoint(tmp_path, state)
+    assert int(restored.step) == 0
+    assert "param_fingerprint" in extra
+
+    # architecture mismatch -> explicit error, not a raw shape failure
+    h2 = tiny_hparams(layer_dim=32)
+    model2 = get_nerf(h2, appearance_count=4)
+    state2 = create_train_state(jax.random.PRNGKey(0), h2, model2, None)
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_checkpoint(tmp_path, state2)
