@@ -51,9 +51,12 @@ class ImageMetadata:
                 mask = _load_mask_payload(f)
         mask = np.asarray(mask)
         if mask.shape[0] != self.H or mask.shape[1] != self.W:
-            img = Image.fromarray(mask.astype(np.uint8) * 255)
-            img = img.resize((self.W, self.H), Image.NEAREST)
-            mask = np.asarray(img) > 127
+            # floor-sampling nearest like torch F.interpolate (the
+            # reference, image_metadata.py:50-52) — PIL NEAREST samples
+            # pixel centers and picks DIFFERENT source pixels
+            ys = (np.arange(self.H) * mask.shape[0] // self.H)
+            xs = (np.arange(self.W) * mask.shape[1] // self.W)
+            mask = mask[ys][:, xs]
         return mask.astype(bool)
 
 
@@ -63,6 +66,18 @@ def _load_mask_payload(fileobj):
     import io
     try:
         import torch
-        return torch.load(io.BytesIO(data), map_location="cpu").numpy()
-    except Exception:
-        return np.load(io.BytesIO(data), allow_pickle=False)
+    except ImportError:
+        torch = None
+    if torch is not None:
+        try:
+            return torch.load(io.BytesIO(data), map_location="cpu").numpy()
+        except Exception:
+            pass          # not a torch payload — fall through to raw .npy
+    out = np.load(io.BytesIO(data), allow_pickle=False)
+    if not isinstance(out, np.ndarray):
+        # np.load "succeeds" on any zip payload (.pt files are zips) by
+        # returning an NpzFile — that is NOT a decoded mask
+        raise RuntimeError(
+            "mask payload is a torch-saved tensor; torch is required to "
+            "decode it on this host")
+    return out

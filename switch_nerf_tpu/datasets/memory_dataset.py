@@ -11,21 +11,27 @@ import numpy as np
 
 from switch_nerf_tpu.datasets.dataset_utils import get_rgb_index_mask
 from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
-from switch_nerf_tpu.datasets.ray_utils import get_ray_directions, get_rays
+from switch_nerf_tpu.datasets.ray_utils import compute_image_rays
 
 
 class MemoryDataset:
     def __init__(self, metadata_items: List[ImageMetadata], near: float,
                  far: float, ray_altitude_range: Optional[Sequence[float]],
                  center_pixels: bool,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 seed: int = 42):
+        # seeded rng (NOT OS entropy): the val-half resampling inside
+        # get_rgb_index_mask must be identical on every process (the
+        # multi-host design feeds the identical global batch everywhere)
+        # and reproducible under --random_seed
+        if rng is None:
+            rng = np.random.default_rng(seed)
         rgbs, rays, indices = [], [], []
         for item in metadata_items:
             image_data = get_rgb_index_mask(item, rng)
             if image_data is None:
                 continue
             image_rgbs, image_indices, keep_mask = image_data
-            from switch_nerf_tpu.datasets.ray_utils import compute_image_rays
             image_rays = compute_image_rays(
                 item.c2w, item.W, item.H, item.intrinsics, center_pixels,
                 near, far, ray_altitude_range)

@@ -44,7 +44,11 @@ _SQUEEZE_FIRES = [(16, 64, 64), (16, 64, 64), (32, 128, 128),
                   (32, 128, 128), (48, 192, 192), (48, 192, 192),
                   (64, 256, 256), (64, 256, 256)]
 _SQUEEZE_POOL_BEFORE = {0, 2, 4}       # maxpool before fires 0, 2, 4
-_SQUEEZE_TAPS = (0, 1, 3, 5, 7, 8, 9)  # lpips taps 7 feature levels
+# lpips taps squeezenet1_1 after features [1],[4],[7],[9],[10],[11],[12]
+# = conv0(level 0) + fires 1,3,4,5,6,7 (levels 2,4,5,6,7,8): 7 levels with
+# channels [64, 128, 256, 384, 384, 512, 512] — matching the 7 lins the
+# converter exports from the lpips package
+_SQUEEZE_TAPS = (0, 2, 4, 5, 6, 7, 8)
 
 
 def _conv(x, kernel, bias, stride=1, padding=0):

@@ -161,27 +161,36 @@ def grid_weights(sigma_grid: np.ndarray, poses: np.ndarray,
     """
     reso = sigma_grid.shape[0]
     w, h, fx, fy, cx, cy = camera
-    n_steps = n_steps or reso * 2
+    # the march window spans 2 grid diagonals (see t_entry below), so 4*R
+    # steps keep the step length at half a cell — every cell on the ray
+    # gets sampled
+    n_steps = n_steps or reso * 4
     center = np.asarray(center, np.float32)
     radius = np.asarray(radius, np.float32)
     lo = center - radius
     span = 2 * radius
 
     maxw = np.zeros_like(sigma_grid, np.float32)
-    i, j = np.meshgrid(np.arange(0, w, ray_subsample, dtype=np.float32),
-                       np.arange(0, h, ray_subsample, dtype=np.float32),
-                       indexing="xy")
-    dirs_cam = np.stack([(i + 0.5 - cx) / fx, -(j + 0.5 - cy) / fy,
-                         -np.ones_like(i)], -1).reshape(-1, 3)
+    # same pixel-center camera convention as the data pipeline — reuse it
+    # (a convention change in ray_utils must propagate here)
+    from switch_nerf_tpu.datasets.ray_utils import get_ray_directions
+    dirs_cam = np.asarray(get_ray_directions(
+        w, h, fx, fy, cx, cy, center_pixels=True))[
+            ::ray_subsample, ::ray_subsample].reshape(-1, 3)
 
-    t_near, t_far = 0.0, float(np.linalg.norm(span))
-    ts = np.linspace(t_near + 1e-4, t_far, n_steps, dtype=np.float32)
-    delta = np.float32(ts[1] - ts[0])
+    diag = float(np.linalg.norm(span))
 
     for pose in poses:
         d = dirs_cam @ pose[:, :3].T
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         o = pose[:, 3]
+        # march from the camera's distance to the box (cameras can stand
+        # far outside the occupied bbox — a fixed [0, diag] window would
+        # never reach it and every cell's weight would stay 0)
+        t_entry = max(0.0, float(np.linalg.norm(o - center)) - diag)
+        ts = np.linspace(t_entry + 1e-4, t_entry + 2 * diag, n_steps,
+                         dtype=np.float32)
+        delta = np.float32(ts[1] - ts[0])
         pts = o[None, None, :] + d[:, None, :] * ts[None, :, None]
         cell = np.floor((pts - lo) / span * reso).astype(np.int64)
         inside = np.all((cell >= 0) & (cell < reso), axis=-1)

@@ -127,8 +127,7 @@ def combine(expert_output: jnp.ndarray, dp: DispatchPlan, *,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _dispatch_p(tokens, gates, slot, kept, stt, filled, prescore):
-    out, _ = _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
-    return out
+    return _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
 
 
 def _dispatch_fwd_impl(tokens, gates, stt, filled, prescore):
@@ -143,14 +142,13 @@ def _dispatch_fwd_impl(tokens, gates, stt, filled, prescore):
             scaled = tokens * gates[k, :, None].astype(tokens.dtype)
             g = scaled[stt[k]] * scale[k][:, None]
             out = g if out is None else out + g
-        return out, None
+        return out
     gathered = tokens[stt.reshape(-1)].reshape(kk, ec, m)
-    out = jnp.sum(gathered * scale[..., None], axis=0)              # [E*C, M]
-    return out, gathered
+    return jnp.sum(gathered * scale[..., None], axis=0)             # [E*C, M]
 
 
 def _dispatch_fwd(tokens, gates, slot, kept, stt, filled, prescore):
-    out, _ = _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
+    out = _dispatch_fwd_impl(tokens, gates, stt, filled, prescore)
     return out, (tokens, gates, slot, kept, stt, filled)
 
 

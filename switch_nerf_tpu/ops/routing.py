@@ -94,14 +94,17 @@ def load_importance_loss(scores_wo_noise: jnp.ndarray, topk_logits: jnp.ndarray,
         raise ValueError(
             "use_load_importance_loss requires --gate_noise > 0 "
             f"(got {gate_noise})")
+    # ddof=1: torch.Tensor.var() is UNBIASED — the reference loss
+    # (tutel_fast_dispatch_nobatch.py:181-203) would otherwise be
+    # underestimated by (E-1)/E
     imp = scores_wo_noise.astype(jnp.float32).sum(axis=0)
-    l_imp = imp.var() / (imp.mean() ** 2 + 1e-10)
+    l_imp = imp.var(ddof=1) / (imp.mean() ** 2 + 1e-10)
 
     threshold = topk_logits[:, -1:].astype(jnp.float32)
     diff = scores_wo_noise.astype(jnp.float32) - threshold
     prob = _norm_cdf(diff, gate_noise / num_global_experts)
     load = prob.sum(axis=0)
-    l_load = load.var() / (load.mean() ** 2 + 1e-10)
+    l_load = load.var(ddof=1) / (load.mean() ** 2 + 1e-10)
     return (l_imp + l_load) / 2.0
 
 

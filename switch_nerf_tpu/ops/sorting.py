@@ -1,5 +1,11 @@
 """Sort-with-payloads with a sort-based backward.
 
+TPU-native infrastructure replacing the argsort + fancy-index chains the
+reference uses for routing/merge ordering (e.g. compute_sorted_location,
+tutel_fast_dispatch.py:165-168, and the coarse/fine sample merge,
+rendering.py:419-433) — there is no single reference counterpart; the op
+exists because gathers are the TPU bottleneck.
+
 jax.lax.sort's autodiff transposes into per-payload dynamic gathers by the
 inverse permutation — profiled at ~7 ms per payload channel per train step
 on the Building config (dynamic-gather fusions are slow on TPU). Here the

@@ -499,7 +499,8 @@ class Runner:
                 dataset.set_state(dataset_state)
         elif h.dataset_type == "memory":
             dataset = MemoryDataset(self.train_items, self.near, self.far,
-                                    self.ray_altitude_range, h.center_pixels)
+                                    self.ray_altitude_range, h.center_pixels,
+                                    seed=h.random_seed)
         else:
             raise ValueError(f"Unrecognized dataset type {h.dataset_type}")
 

@@ -141,3 +141,20 @@ def test_octree_extraction_e2e(tmp_path):
     # query returns finite payloads inside the bbox
     q = tree.query(np.asarray(tree.center, np.float32)[None])
     assert np.isfinite(q).all()
+
+
+def test_grid_weights_distant_camera():
+    """A camera standing farther than one grid diagonal from the box must
+    still deposit weight (the march starts at the ray-box entry distance,
+    not at t=0 — review fix)."""
+    import numpy as np
+    from switch_nerf_tpu.octree import grid_weights
+    reso = 16
+    sigma = np.zeros((reso, reso, reso), np.float32)
+    sigma[8, 8, 8] = 50.0
+    pose = np.eye(3, 4, dtype=np.float32)
+    pose[:, 3] = [0.0, 0.0, 20.0]           # 20 units away; diag ~3.46
+    cam = (16, 16, 80.0, 80.0, 8.0, 8.0)    # narrow FoV at the box
+    w = grid_weights(sigma, pose[None], [0, 0, 0], [1, 1, 1], cam,
+                     ray_subsample=1)
+    assert w[8, 8, 8] > 0.1

@@ -714,3 +714,28 @@ def test_bg_fine_sampling_parity():
                           4, det=True, rng=None)
     np.testing.assert_allclose(np.asarray(our_fine), ref_fine.numpy(),
                                atol=1e-6)
+
+
+def test_load_importance_loss_parity():
+    """Our load_importance_loss must equal the reference's exactly —
+    including torch's UNBIASED var (ddof=1; review fix: jnp's default
+    ddof=0 underestimated the loss by (E-1)/E)."""
+    import torch
+    from switch_nerf.modules.tutel_moe_ext.tutel_fast_dispatch_nobatch \
+        import load_importance_loss as ref_loss
+
+    import jax.numpy as jnp
+    from switch_nerf_tpu.ops.routing import load_importance_loss
+
+    rng = np.random.default_rng(0)
+    s, e, k, noise = 64, 8, 2, 1.5
+    scores = rng.uniform(0.01, 1.0, (s, e)).astype(np.float32)
+    scores /= scores.sum(-1, keepdims=True)
+    logits = rng.normal(0, 1, (s, e)).astype(np.float32)
+    topk = np.sort(logits, axis=-1)[:, -k:][:, ::-1].copy()
+
+    want = float(ref_loss(torch.tensor(scores), torch.tensor(topk), e,
+                          noise))
+    got = float(load_importance_loss(jnp.asarray(scores), jnp.asarray(topk),
+                                     e, noise))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
