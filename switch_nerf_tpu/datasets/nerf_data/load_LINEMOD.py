@@ -21,7 +21,11 @@ def load_LINEMOD_data(basedir, half_res=False, testskip=1):
             metas[s] = json.load(fp)
 
     all_imgs, all_poses, counts = [], [], [0]
-    near, far, k = None, None, None
+    # reference load_LINEMOD.py:91-92: bounds span BOTH splits, floored/
+    # ceiled (per-split raw values would clip geometry the reference keeps)
+    near = float(np.floor(min(metas["train"]["near"], metas["test"]["near"])))
+    far = float(np.ceil(max(metas["train"]["far"], metas["test"]["far"])))
+    k = None
     for s in splits:
         meta = metas[s]
         skip = 1 if s == "train" or testskip == 0 else testskip
@@ -31,12 +35,10 @@ def load_LINEMOD_data(basedir, half_res=False, testskip=1):
             imgs.append(np.asarray(Image.open(fname).convert("RGBA"),
                                    np.float32) / 255.0)
             poses.append(np.array(frame["transform_matrix"], np.float32))
-        near = float(meta.get("near", near or 0.0))
-        far = float(meta.get("far", far or 1.0))
-        if "frames" in meta and meta["frames"]:
-            k = np.array(meta["frames"][0].get("intrinsic_matrix", k)
-                         if meta["frames"][0].get("intrinsic_matrix")
-                         is not None else k)
+        km = meta["frames"][0].get("intrinsic_matrix") \
+            if meta.get("frames") else None
+        if km is not None:
+            k = np.array(km, np.float32)
         all_imgs.append(np.stack(imgs))
         all_poses.append(np.stack(poses))
         counts.append(counts[-1] + len(imgs))

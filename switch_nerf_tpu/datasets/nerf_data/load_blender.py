@@ -74,13 +74,15 @@ def load_blender_data(basedir, half_res=False, testskip=1):
                              for angle in np.linspace(-180, 180, 41)[:-1]])
 
     if half_res:
+        # float INTER_AREA like the reference (load_blender.py:82-84) —
+        # a uint8 round-trip would lose sub-1/255 precision in rgb+alpha
+        import cv2
         h, w = h // 2, w // 2
         focal = focal / 2.0
         imgs_half = np.zeros((imgs.shape[0], h, w, 4), np.float32)
         for i, img in enumerate(imgs):
-            pil = Image.fromarray((img * 255).astype(np.uint8))
-            imgs_half[i] = np.asarray(
-                pil.resize((w, h), Image.LANCZOS), np.float32) / 255.0
+            imgs_half[i] = cv2.resize(img, (w, h),
+                                      interpolation=cv2.INTER_AREA)
         imgs = imgs_half
 
     return imgs, poses, render_poses, [h, w, focal], i_split

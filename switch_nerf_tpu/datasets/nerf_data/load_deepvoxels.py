@@ -25,10 +25,10 @@ def load_dv_data(scene="cube", basedir="/data/deepvoxels", testskip=8):
             near_plane = float(f.readline())
             scale = float(f.readline())
             height, width = map(float, f.readline().split())
-        try:
-            world2cam_poses = bool(int(f.readline()))
-        except Exception:
-            world2cam_poses = False
+            try:
+                world2cam_poses = bool(int(f.readline()))
+            except ValueError:      # 7th line absent/blank
+                world2cam_poses = False
         cx = cx / width * target_side_len
         cy = cy / height * target_side_len
         f_ = target_side_len / height * f_

@@ -119,14 +119,18 @@ def _spherify_poses(poses, bds):
 def _load_images(basedir, factor):
     suffix = "" if factor in (None, 1) else f"_{factor}"
     imgdir = os.path.join(basedir, "images" + suffix)
-    if not os.path.exists(imgdir):
+    # carry the EXISTENCE result, never re-derive it from the path string
+    # (a basedir containing 'images_' would otherwise skip the fallback
+    # resize and leave focal/resolution inconsistent)
+    pre_downscaled = bool(suffix) and os.path.exists(imgdir)
+    if not pre_downscaled:
         imgdir = os.path.join(basedir, "images")
     names = [f for f in sorted(os.listdir(imgdir))
              if f.lower().endswith((".jpg", ".jpeg", ".png"))]
     imgs = []
     for f in names:
         img = Image.open(os.path.join(imgdir, f)).convert("RGB")
-        if suffix and "images_" not in imgdir:
+        if suffix and not pre_downscaled:
             img = img.resize((img.width // factor, img.height // factor),
                              Image.LANCZOS)
         imgs.append(np.asarray(img, np.float32) / 255.0)

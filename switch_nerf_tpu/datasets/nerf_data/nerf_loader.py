@@ -8,8 +8,7 @@ Parity target: switch_nerf/datasets/nerf_data/nerf_loader.py:14-251 —
   * precomputed rays [N, H, W, 8] (+ radii), flattened train split,
     per-image val/test splits.
 
-LINEMOD / deepvoxels remain unimplemented here (rare formats; the loaders
-slot into the same branch structure when needed).
+  * LINEMOD / deepvoxels: load_LINEMOD.py / load_deepvoxels.py.
 """
 from __future__ import annotations
 
@@ -121,7 +120,7 @@ class NeRFDataset:
         self.H, self.W = h, w
         self.hwf = [h, w, focal]
 
-        if getattr(args, "scale_factor", 1) and args.scale_factor > 1:
+        if getattr(args, "scale_factor", 1) > 1:
             import cv2
             sf = args.scale_factor
             assert self.H % sf == 0 and self.W % sf == 0

@@ -64,14 +64,9 @@ def mip_encode(mean_cov: jnp.ndarray, num_freqs: int, logscale: bool = True,
     var = mean_cov[..., d:2 * d]
     if num_freqs == 0:
         return mean
-    if logscale:
-        fy = 2.0 ** jnp.linspace(0.0, num_freqs - 1, num_freqs)
-        fw = 4.0 ** jnp.linspace(0.0, num_freqs - 1, num_freqs)
-    else:
-        fy = jnp.linspace(1.0, 2.0 ** (num_freqs - 1), num_freqs)
-        fw = jnp.linspace(1.0, 4.0 ** (num_freqs - 1), num_freqs)
-    fy = fy.astype(mean.dtype)
-    fw = fw.astype(mean.dtype)
+    # one ladder builder for both bases (fw = fy**2 ladder in base 4)
+    fy = freq_bands(num_freqs, logscale).astype(mean.dtype)
+    fw = freq_bands(num_freqs, logscale, base=4.0).astype(mean.dtype)
     # single flat transcendental (cos(x) == sin(x + pi/2); see freq_encode)
     phase = jnp.array([0.0, 0.5 * jnp.pi], mean.dtype)
     angles = (mean[..., None, None, :] * fy[:, None, None]

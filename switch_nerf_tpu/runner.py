@@ -719,8 +719,22 @@ class Runner:
     # ------------------------------------------------------------- eval ---
     def _load_eval_state(self):
         h = self.hparams
+        if h.ckpt_path is None and getattr(h, "container_path", None):
+            # packaged-container eval (reference eval_image accepts
+            # ckpt_path OR container_path): the container carries its own
+            # model config + params
+            from switch_nerf_tpu.container import load_container
+            from switch_nerf_tpu.trainer import TrainState, create_optimizer
+            nerf, bg, params, _cfg = load_container(h.container_path)
+            self.nerf, self.bg_nerf = nerf, bg
+            tx = create_optimizer(h)
+            state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                               opt_state=tx.init(params), rng=self.init_rng,
+                               tx=tx)
+            return self._setup_device(state)
         state = create_train_state(self.init_rng, h, self.nerf, self.bg_nerf)
-        assert h.ckpt_path is not None, "--ckpt_path required for eval"
+        assert h.ckpt_path is not None, (
+            "--ckpt_path (or --container_path) required for eval")
         if jax.process_count() > 1:
             state = self._setup_device(state)
             state, _ = load_checkpoint(h.ckpt_path, state,

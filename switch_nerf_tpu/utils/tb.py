@@ -18,11 +18,22 @@ class SummaryWriter:
         self._writer = None
         try:
             import tensorflow as tf
-            tf.config.set_visible_devices([], "GPU")
-            self._tf = tf
-            self._writer = tf.summary.create_file_writer(str(log_dir))
-        except Exception:
+        except ImportError:
+            # graceful degrade ONLY for a missing TF — that's the one
+            # case where silently logging nothing is the intent
             self._tf = None
+            return
+        tf.config.set_visible_devices([], "GPU")
+        self._tf = tf
+        try:
+            self._writer = tf.summary.create_file_writer(str(log_dir))
+        except Exception as e:
+            # a bad log_dir/permissions must not pass silently: the whole
+            # run would produce zero scalars with no indication
+            import logging
+            logging.getLogger(__name__).warning(
+                "TensorBoard writer creation failed for %s (%s) — "
+                "scalar/image logging DISABLED for this run", log_dir, e)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         if self._writer is None:

@@ -350,3 +350,26 @@ def test_sigterm_saves_resumable_checkpoint(mega_dataset, tmp_path):
     runner2 = Runner(h2)
     state2 = runner2.train()
     assert int(state2.step) == steps[0] + 2
+
+
+def test_eval_image_from_container(mega_dataset, tmp_path):
+    """--container_path (no ckpt) drives eval_image end-to-end, matching
+    the reference's ckpt-or-container eval contract."""
+    import jax
+
+    from switch_nerf_tpu.container import save_container
+    from switch_nerf_tpu.runner import Runner
+
+    h = mega_hparams(mega_dataset, tmp_path)
+    runner = Runner(h)
+    state = runner.train()
+    out = save_container(tmp_path / "container", h,
+                         jax.device_get(state.params),
+                         runner.appearance_count, scene={})
+
+    h2 = mega_hparams(mega_dataset, tmp_path / "ceval")
+    h2.container_path = str(out)
+    assert h2.ckpt_path is None
+    runner2 = Runner(h2)
+    means = runner2.eval_image()
+    assert np.isfinite(means["psnr"])
