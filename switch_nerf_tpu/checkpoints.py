@@ -84,9 +84,16 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
     if sharded:
         # orbax commits its own data atomically (collective save blocks
         # until every process finished); extra.json — written LAST by
-        # process 0 — is the commit marker latest_checkpoint requires
+        # process 0 — is the commit marker latest_checkpoint requires.
+        # Re-saving an existing step (e.g. interval save then preemption
+        # save at the same step): drop the stale marker FIRST, or a crash
+        # during the force=True rewrite would leave a "committed" dir
+        # with no data
         if jax.process_index() == 0:
             path.mkdir(parents=True, exist_ok=True)
+            marker = path / "extra.json"
+            if marker.exists():
+                marker.unlink()
         import orbax.checkpoint as ocp
         target = path.resolve() / "orbax"
         with ocp.StandardCheckpointer() as ckptr:
@@ -111,9 +118,13 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
 
     if jax.process_index() == 0:
         if keep > 0:
-            steps = sorted((int(p.name) for p in Path(ckpt_dir).iterdir()
-                            if p.name.isdigit()), reverse=True)
-            for old in steps[keep:]:
+            # never prune the step just written (a stale higher-numbered
+            # dir from an earlier run must not evict the fresh save);
+            # keep the (keep-1) highest OTHER steps
+            others = sorted((int(p.name) for p in Path(ckpt_dir).iterdir()
+                             if p.name.isdigit() and int(p.name) != step),
+                            reverse=True)
+            for old in others[keep - 1:]:
                 shutil.rmtree(Path(ckpt_dir) / str(old),
                               ignore_errors=True)
     return path

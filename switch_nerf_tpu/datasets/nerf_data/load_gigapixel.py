@@ -11,11 +11,18 @@ from PIL import Image
 Image.MAX_IMAGE_PIXELS = None
 
 
-def load_gigapixel_data(path, scale_factor: int = 1):
+def load_gigapixel_data(path, scale_factor: float = 1):
+    """scale_factor follows the reference convention: a float < 1 scales
+    DOWN by that fraction (e.g. 0.25 = quarter resolution); an int > 1
+    divides the resolution (both conventions accepted)."""
     img = Image.open(path).convert("RGB")
-    if scale_factor > 1:
-        img = img.resize((img.width // scale_factor,
-                          img.height // scale_factor), Image.LANCZOS)
+    if 0 < scale_factor < 1:
+        img = img.resize((max(1, int(img.width * scale_factor)),
+                          max(1, int(img.height * scale_factor))),
+                         Image.LANCZOS)
+    elif scale_factor > 1:
+        img = img.resize((img.width // int(scale_factor),
+                          img.height // int(scale_factor)), Image.LANCZOS)
     arr = np.asarray(img, np.float32) / 255.0
     h, w = arr.shape[:2]
     ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),

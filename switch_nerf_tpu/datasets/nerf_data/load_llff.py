@@ -144,6 +144,12 @@ def load_llff_data(basedir, factor=8, recenter=True, bd_factor=0.75,
     bds = poses_arr[:, -2:].transpose([1, 0])
 
     imgs = _load_images(basedir, factor)
+    if imgs.shape[0] != poses.shape[-1]:
+        # reference load_llff.py:97-99: a stray/missing image file would
+        # otherwise silently misalign every (ray, rgb) pair
+        raise ValueError(
+            f"image/pose count mismatch: {imgs.shape[0]} images vs "
+            f"{poses.shape[-1]} poses in {basedir}")
     sh = imgs[0].shape
     poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])
     poses[2, 4, :] = poses[2, 4, :] * 1.0 / (factor or 1)

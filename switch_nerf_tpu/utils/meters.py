@@ -51,9 +51,11 @@ class DictAverageMeter:
         payload = json.dumps({"s": self.sums, "c": self.counts},
                              sort_keys=True).encode("utf-8")
         if len(payload) + 4 > self._XCHG_BYTES:
-            raise ValueError(
-                f"metric payload {len(payload)}B exceeds the "
-                f"{self._XCHG_BYTES}B exchange buffer")
+            # must still ENTER the collective (raising here would leave
+            # every other process hanging in the allgather): send an
+            # overflow marker so all processes raise together afterwards
+            payload = json.dumps({"s": {}, "c": {}, "overflow":
+                                  len(payload)}).encode("utf-8")
         buf = np.zeros(self._XCHG_BYTES, np.uint8)
         buf[:4] = np.frombuffer(
             np.uint32(len(payload)).tobytes(), np.uint8)
@@ -65,6 +67,10 @@ class DictAverageMeter:
         for row in gathered:
             n = int(np.frombuffer(row[:4].tobytes(), np.uint32)[0])
             d = json.loads(row[4:4 + n].tobytes().decode("utf-8"))
+            if d.get("overflow"):
+                raise ValueError(
+                    f"a process's metric payload ({d['overflow']}B) "
+                    f"exceeds the {self._XCHG_BYTES}B exchange buffer")
             for k, v in d["s"].items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             for k, v in d["c"].items():
