@@ -34,6 +34,11 @@ def install_stubs():
 
     class _AnySparse(types.ModuleType):
         def __getattr__(self, name):
+            if name.startswith("__"):
+                # dunders (e.g. __file__ probed by inspect/torch._dynamo
+                # module scans) must behave like a normal missing attribute
+                raise AttributeError(name)
+
             def _missing(*a, **k):
                 raise RuntimeError(f"tutel stub {name} must not be called")
             return _missing
