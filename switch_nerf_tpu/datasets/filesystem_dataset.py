@@ -248,9 +248,14 @@ class FilesystemDataset:
             "images": len(metadata_items),
             "num_chunks": num_chunks,
             "scale_factor": scale_factor,
-            "near": self._near,
-            "far": self._far,
-            "ray_altitude_range": self._ray_altitude_range,
+            # plain python floats: the runner hands numpy scalars
+            # (pose-scaled near/far, transformed altitude range) and
+            # json.dumps rejects np.float32
+            "near": float(self._near),
+            "far": float(self._far),
+            "ray_altitude_range": (
+                None if self._ray_altitude_range is None
+                else [float(x) for x in self._ray_altitude_range]),
             "center_pixels": self._center_pixels,
             "shared_intrinsics": self._shared_intrinsics,
             "paths": [str(m.image_path) for m in metadata_items[:16]],

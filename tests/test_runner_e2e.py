@@ -373,3 +373,123 @@ def test_eval_image_from_container(mega_dataset, tmp_path):
     runner2 = Runner(h2)
     means = runner2.eval_image()
     assert np.isfinite(means["psnr"])
+
+
+def test_resume_exact_trajectory(mega_dataset, tmp_path):
+    """Exact-resume guarantee (round-2 verdict item 2): resuming from a
+    checkpoint — including one written by the SIGTERM preemption path —
+    must replay the IDENTICAL training trajectory: bit-equal per-step
+    losses and bit-equal final params/opt-state/rng vs the uninterrupted
+    run. Covers the RNG chain, the dataset batch-rng in get_state(), the
+    dataset cursor, and the discard fast-forward (reference anchors:
+    runner.py:142-151, 584-588, 2799-2818).
+
+    Per-step metrics are captured bit-exactly with a jax.debug.callback
+    (keyed by the post-step counter — unordered callbacks are the only
+    kind allowed on a multi-device mesh) wrapped around make_train_step;
+    the SIGTERM leg raises the signal from inside the step-K callback, so
+    the preemption lands mid-training deterministically."""
+    import os
+    import signal
+
+    import jax
+    import switch_nerf_tpu.runner as R
+
+    N, K = 12, 6
+    chunks = tmp_path / "chunks"
+    orig_make = R.make_train_step
+
+    def fs_hparams(tmp):
+        h = mega_hparams(mega_dataset, tmp)
+        h.dataset_type = "filesystem"
+        h.chunk_paths = [str(chunks)]
+        h.num_chunks = 2
+        h.disk_flush_size = 1000
+        h.train_iterations = N
+        h.ckpt_interval = 4
+        h.val_interval = 10 ** 9
+        return h
+
+    def run(h, kill_at=None):
+        by_step = {}
+
+        def recording(*a, **k):
+            f = orig_make(*a, **k)
+
+            def record(step, m):
+                step = int(step)
+                by_step[step] = {k2: np.asarray(v).copy()
+                                 for k2, v in m.items()}
+                if kill_at is not None and step == kill_at:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+            def g(state, batch):
+                state, m = f(state, batch)
+                jax.debug.callback(record, state.step, m)
+                return state, m
+            return g
+
+        R.make_train_step = recording
+        try:
+            runner = R.Runner(h)
+            state = runner.train()
+        finally:
+            R.make_train_step = orig_make
+        records = [by_step[k] for k in sorted(by_step)]
+        assert sorted(by_step) == list(range(min(by_step), max(by_step) + 1))
+        return runner, jax.device_get(state), records
+
+    def assert_state_equal(a, b):
+        flat_a = jax.tree_util.tree_leaves_with_path(
+            {"params": a.params, "opt": a.opt_state, "rng": a.rng})
+        flat_b = jax.tree_util.tree_leaves_with_path(
+            {"params": b.params, "opt": b.opt_state, "rng": b.rng})
+        assert len(flat_a) == len(flat_b)
+        for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(
+                np.asarray(va), np.asarray(vb),
+                err_msg=f"state leaf {jax.tree_util.keystr(pa)}")
+
+    def assert_metrics_equal(got, want, label):
+        assert len(got) == len(want), label
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g.keys() == w.keys()
+            for k in g:
+                np.testing.assert_array_equal(
+                    g[k], w[k], err_msg=f"{label}: step {i} metric {k}")
+
+    # A: uninterrupted 12-step run (writes ckpts at 4, 8, 12)
+    hA = fs_hparams(tmp_path / "A")
+    runnerA, stateA, recA = run(hA)
+    assert int(stateA.step) == N and len(recA) == N
+
+    # B: cold resume from the step-8 interval checkpoint
+    hB = fs_hparams(tmp_path / "B")
+    hB.ckpt_path = str(runnerA.model_path / "8")
+    assert hB.resume_ckpt_state
+    _, stateB, recB = run(hB)
+    assert int(stateB.step) == N
+    assert_metrics_equal(recB, recA[8:], "interval-resume")
+    assert_state_equal(stateA, stateB)
+
+    # C: SIGTERM raised from inside the step-K callback -> preemption save
+    # (the latch is checked right after the step, but callback delivery is
+    # async, so the save may land a step or two later — read it back)
+    hC = fs_hparams(tmp_path / "C")
+    hC.ckpt_interval = 10 ** 9
+    runnerC, stateC, recC = run(hC, kill_at=K)
+    s_c = int(stateC.step)
+    assert K <= s_c < N, "SIGTERM must interrupt mid-run"
+    assert_metrics_equal(recC, recA[:len(recC)], "pre-preemption")
+    steps = sorted(int(p.name) for p in runnerC.model_path.iterdir()
+                   if p.name.isdigit())
+    assert steps == [s_c]
+
+    # D: resume from the preemption checkpoint and finish the run
+    hD = fs_hparams(tmp_path / "D")
+    hD.ckpt_path = str(runnerC.model_path / str(s_c))
+    _, stateD, recD = run(hD)
+    assert int(stateD.step) == N
+    assert_metrics_equal(recD, recA[s_c:], "preemption-resume")
+    assert_state_equal(stateA, stateD)
