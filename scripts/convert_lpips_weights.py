@@ -44,8 +44,15 @@ def main():
         _export_net(model, net, out)
         print(f"exported {net}: "
               f"{sum(1 for k in out if k.startswith(net))} tensors")
+        # validate against the consumer's exact layout contract BEFORE
+        # writing: a tap/shape mismatch must fail here, at conversion
+        # time, not months later on an offline TPU pod
+        from switch_nerf_tpu import lpips_jax as L
+        L.validate_net_weights(
+            net, {k.split("/", 1)[1]: v for k, v in out.items()
+                  if k.startswith(f"{net}/")}, source="converter output")
     np.savez(args.out, **out)
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out} (layout validated)")
 
 
 if __name__ == "__main__":

@@ -94,6 +94,14 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
             marker = path / "extra.json"
             if marker.exists():
                 marker.unlink()
+        if jax.process_count() > 1:
+            # make the unlink-before-save ordering GLOBAL: without this
+            # barrier only process 0 sequences the commit protocol, and a
+            # non-zero process crashing pre-save leaves the others blocked
+            # in the collective while the dir still looks committed
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(
+                f"ckpt_marker_cleared_{step}")
         import orbax.checkpoint as ocp
         target = path.resolve() / "orbax"
         with ocp.StandardCheckpointer() as ckptr:

@@ -334,8 +334,17 @@ def parse_args(parser: argparse.ArgumentParser,
     """Parse with YAML-config default folding. CLI > YAML > code default."""
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
+    # _apply_yaml_defaults flips `required` off for options the YAML
+    # satisfies; restore afterwards so a reused parser instance still
+    # enforces required options on a later config-less parse
+    was_required = [(a, a.required) for a in parser._actions
+                    if getattr(a, "required", False)]
     argv = _apply_yaml_defaults(parser, argv)
-    hparams = parser.parse_args(argv)
+    try:
+        hparams = parser.parse_args(argv)
+    finally:
+        for a, req in was_required:
+            a.required = req
     if hparams.model is not None and isinstance(hparams.model, str):
         hparams.model = yaml.safe_load(hparams.model)
     if getattr(hparams, "model_bg", None) is not None and isinstance(

@@ -189,6 +189,50 @@ def _net_layer_specs(net: str):
     return convs, taps
 
 
+def expected_layout(net: str) -> Dict[str, Tuple[int, ...]]:
+    """The exact key->shape contract a converted-weights npz must satisfy
+    for `net` (the architecture the backbones above execute)."""
+    convs, taps = _net_layer_specs(net)
+    layout: Dict[str, Tuple[int, ...]] = {}
+    for name, kh, kw, cin, cout in convs:
+        layout[f"{name}/kernel"] = (kh, kw, cin, cout)
+        layout[f"{name}/bias"] = (cout,)
+    for li, c in enumerate(taps):
+        layout[f"lin{li}/kernel"] = (1, 1, c, 1)
+    return layout
+
+
+def validate_net_weights(net: str, w: Dict[str, np.ndarray],
+                         source: str = "") -> None:
+    """Fail LOUDLY (expected-vs-got layout) on any tap/shape mismatch.
+
+    Converted real weights are produced off-box (torchvision/lpips are not
+    installable on TPU pods), so the first actual load may happen months
+    after a converter change — a silent shape accident here would corrupt
+    published-table numbers. (The round-2 squeeze-tap bug was exactly this
+    class: wrong torchvision taps would only have crashed, confusingly, on
+    first real use.)"""
+    want = expected_layout(net)
+    problems = []
+    for key in sorted(set(want) | set(w)):
+        if key not in w:
+            problems.append(f"  missing {net}/{key} "
+                            f"(expected shape {want[key]})")
+        elif key not in want:
+            problems.append(f"  unexpected key {net}/{key} "
+                            f"(shape {tuple(np.shape(w[key]))})")
+        elif tuple(np.shape(w[key])) != want[key]:
+            problems.append(f"  {net}/{key}: expected shape {want[key]}, "
+                            f"got {tuple(np.shape(w[key]))}")
+    if problems:
+        raise ValueError(
+            f"LPIPS weights{f' in {source}' if source else ''} do not "
+            f"match the {net} backbone layout "
+            f"({len(problems)} problems):\n" + "\n".join(problems)
+            + "\nRegenerate the npz with scripts/convert_lpips_weights.py "
+              "matching this framework version.")
+
+
 @functools.lru_cache(maxsize=8)
 def substitute_weights(net: str, seed: int = 0) -> Dict[str, np.ndarray]:
     """Deterministic randomly-initialized backbone + uniform calibration.
@@ -242,9 +286,27 @@ def _load_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     data = np.load(path)
     nets: Dict[str, Dict[str, np.ndarray]] = {}
     for key in data.files:
+        if "/" not in key:
+            raise ValueError(
+                f"LPIPS weights {path}: key {key!r} is not of the form "
+                f"<net>/<layer>/<param> — not a convert_lpips_weights.py "
+                f"file?")
         net, rest = key.split("/", 1)
+        if net not in _EXTRACTORS:
+            raise ValueError(
+                f"LPIPS weights {path}: unknown net prefix {net!r} "
+                f"(expected one of {sorted(_EXTRACTORS)})")
         nets.setdefault(net, {})[rest] = data[key]
+    if not nets:
+        raise ValueError(f"LPIPS weights {path}: file contains no nets")
+    for net, w in nets.items():
+        validate_net_weights(net, w, source=path)
     return nets
+
+
+def load_and_validate(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Public load+schema-check entry (used by Runner startup validation)."""
+    return _load_weights(path)
 
 
 def lpips_all(img0: np.ndarray, img1: np.ndarray, weights_path: str

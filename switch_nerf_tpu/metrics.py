@@ -128,8 +128,28 @@ def _resolve_lpips_weights() -> Optional[str]:
     return None
 
 
+def validate_lpips_setup() -> Optional[str]:
+    """Resolve + schema-check the LPIPS weight configuration ONCE, at
+    startup: a set-but-missing SWITCH_NERF_LPIPS_WEIGHTS or a malformed
+    npz must fail before training/eval begins, not at the first validation
+    image hours in. Returns the resolved path (None = substitute mode)."""
+    path = _resolve_lpips_weights()      # raises on set-but-missing env
+    if path is not None:
+        from switch_nerf_tpu import lpips_jax as L
+        L.load_and_validate(path)        # raises on layout mismatch
+    return path
+
+
 def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
     """LPIPS(vgg/alex/squeeze) over [0, 1] images, always available.
+
+    PROVENANCE CONTRACT: with real converted weights the returned keys are
+    the reference names ('vgg'/'alex'/'squeeze' — downstream 'lpips-vgg'
+    etc. in metrics.txt, matching the reference field set). In substitute
+    mode the keys become 'vgg-substitute'/... so numbers produced without
+    pretrained backbones are label-distinguishable everywhere they land
+    (metrics.txt, TensorBoard, eval means) and can never be pasted into a
+    table next to published LPIPS values unnoticed.
 
     Input contract matches the reference exactly (metrics.py:13-27 calls
     the lpips package with normalize=True, i.e. [0, 1] inputs); the
@@ -175,5 +195,6 @@ def lpips(rgbs, target_rgbs) -> Dict[str, Optional[float]]:
             "published LPIPS numbers.")
     nets = {net: L.substitute_weights(net)
             for net in ("vgg", "alex", "squeeze")}
-    return L.lpips_all_from_nets(np.asarray(rgbs), np.asarray(target_rgbs),
+    vals = L.lpips_all_from_nets(np.asarray(rgbs), np.asarray(target_rgbs),
                                  nets)
+    return {f"{net}-substitute": v for net, v in vals.items()}

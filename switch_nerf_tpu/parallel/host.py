@@ -33,8 +33,20 @@ def init_multi_host(coordinator_address: Optional[str] = None,
     # which jax.distributed.initialize() raises and every host would
     # silently train as an independent single-process job. Check the
     # distributed client state directly instead.
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:
+        # older jax: fall back to the private client state; raise a clear
+        # error if that moves too rather than silently proceeding
+        try:
+            from jax._src import distributed as _dist
+            already = _dist.global_state.client is not None
+        except (ImportError, AttributeError) as e:
+            raise RuntimeError(
+                "cannot determine jax.distributed initialization state on "
+                "this jax version; update parallel/host.init_multi_host"
+            ) from e
+    if already:
         return  # already initialised
     kwargs = {}
     if coordinator_address:

@@ -129,6 +129,11 @@ class Runner:
         random.seed(hparams.random_seed)
         self.init_rng = jax.random.PRNGKey(hparams.random_seed)
 
+        # fail-fast on LPIPS misconfiguration (set-but-missing env path or
+        # malformed weights npz): the first lpips() call otherwise happens
+        # at the first validation image, hours into a training run
+        M.validate_lpips_setup()
+
         if self.data_type == "nerf":
             self._init_nerf(set_experiment_path)
             return

@@ -125,7 +125,9 @@ def test_metrics_lpips_substitute_fallback(monkeypatch):
     img1 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
 
     res = M.lpips(img0, img1)
-    assert set(res) == {"vgg", "alex", "squeeze"}
+    # provenance contract: substitute numbers carry '-substitute' keys
+    assert set(res) == {"vgg-substitute", "alex-substitute",
+                        "squeeze-substitute"}
     for v in res.values():
         assert v is not None and np.isfinite(v) and v > 0
     same = M.lpips(img0, img0)
@@ -135,3 +137,84 @@ def test_metrics_lpips_substitute_fallback(monkeypatch):
     monkeypatch.setenv("SWITCH_NERF_LPIPS_SUBSTITUTE", "0")
     strict = M.lpips(img0, img1)
     assert all(v is None for v in strict.values())
+
+
+def test_real_weights_keep_reference_keys(tmp_path, monkeypatch):
+    """With a (schema-valid) weights npz, metrics.lpips returns the
+    reference key names — real numbers land under 'lpips-vgg' etc."""
+    from switch_nerf_tpu import metrics as M
+    rng = np.random.default_rng(3)
+    out = {}
+    for net in ("vgg", "alex", "squeeze"):
+        for k, v in _rand_weights(rng, net).items():
+            out[f"{net}/{k}"] = v
+    path = tmp_path / "w.npz"
+    np.savez(path, **out)
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_WEIGHTS", str(path))
+    img0 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    res = M.lpips(img0, img1)
+    assert set(res) == {"vgg", "alex", "squeeze"}
+    assert all(np.isfinite(v) for v in res.values())
+    # startup validation accepts the same file
+    assert M.validate_lpips_setup() == str(path)
+
+
+def test_weights_schema_validation(tmp_path, monkeypatch):
+    """Armored real-weight path (round-2 verdict item 3): any tap/shape
+    mismatch in a converted npz fails loudly with the expected-vs-got
+    layout — at load AND at Runner-startup validation."""
+    from switch_nerf_tpu import lpips_jax as L
+    from switch_nerf_tpu import metrics as M
+
+    rng = np.random.default_rng(4)
+    good = {f"alex/{k}": v for k, v in _rand_weights(rng, "alex").items()}
+
+    # wrong channel width on a tapped conv
+    bad = dict(good)
+    bad["alex/conv2/kernel"] = np.zeros((3, 3, 192, 999), np.float32)
+    p1 = tmp_path / "badshape.npz"
+    np.savez(p1, **bad)
+    with pytest.raises(ValueError, match=r"expected shape.*got"):
+        L.load_and_validate(str(p1))
+
+    # missing lin calibration
+    bad2 = {k: v for k, v in good.items() if k != "alex/lin4/kernel"}
+    p2 = tmp_path / "missing.npz"
+    np.savez(p2, **bad2)
+    with pytest.raises(ValueError, match="missing alex/lin4/kernel"):
+        L.load_and_validate(str(p2))
+
+    # stray key (e.g. a converter exporting extra layers)
+    bad3 = dict(good, **{"alex/conv9/kernel": np.zeros((1, 1, 4, 4),
+                                                      np.float32)})
+    p3 = tmp_path / "extra.npz"
+    np.savez(p3, **bad3)
+    with pytest.raises(ValueError, match="unexpected key alex/conv9"):
+        L.load_and_validate(str(p3))
+
+    # not a weights file at all
+    p4 = tmp_path / "garbage.npz"
+    np.savez(p4, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not of the form"):
+        L.load_and_validate(str(p4))
+
+    # the malformed file fails at startup validation too (Runner init path)
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_WEIGHTS", str(p1))
+    with pytest.raises(ValueError, match="alex/conv2/kernel"):
+        M.validate_lpips_setup()
+    # and a set-but-missing path fails loudly
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_WEIGHTS",
+                       str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError):
+        M.validate_lpips_setup()
+
+
+def test_expected_layout_matches_substitute():
+    """The substitute generator and the validation contract agree — the
+    layout the validator demands is exactly what the backbones execute."""
+    from switch_nerf_tpu import lpips_jax as L
+    for net in ("vgg", "alex", "squeeze"):
+        w = L.substitute_weights(net)
+        L.validate_net_weights(net, w)     # must not raise
+        assert set(w) == set(L.expected_layout(net))

@@ -109,16 +109,19 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     assert "psnr" in means and np.isfinite(means["psnr"])
     assert "ssim" in means and -1.0 <= means["ssim"] <= 1.0
     # full reference metric field set out of the box (VERDICT r1 items 4/5):
-    # lpips via substitute backbones + per-image time/memory
-    for key in ("lpips-vgg", "lpips-alex", "lpips-squeeze", "time",
-                "memory"):
+    # lpips via substitute backbones (label-distinguishable '-substitute'
+    # keys — provenance contract) + per-image time/memory
+    for key in ("lpips-vgg-substitute", "lpips-alex-substitute",
+                "lpips-squeeze-substitute", "time", "memory"):
         assert key in means and np.isfinite(means[key]), key
     # per-image outputs written, incl. the metrics.txt field set
     val_dirs = list(runner3.experiment_path.glob("val_*"))
     assert val_dirs and any(p.suffix == ".jpg"
                             for p in val_dirs[0].iterdir())
     metrics_txt = (val_dirs[0] / "metrics.txt").read_text()
-    assert "lpips-vgg" in metrics_txt and "memory" in metrics_txt
+    assert "lpips-vgg-substitute" in metrics_txt and "memory" in metrics_txt
+    # substitute numbers must NEVER masquerade under the real-weight keys
+    assert "lpips-vgg:" not in metrics_txt
 
     # validation-protocol eval (reference eval.py -> _run_validation)
     h4 = mega_hparams(mega_dataset, tmp_path / "eval2")
@@ -126,7 +129,7 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     runner4 = Runner(h4)
     vmeans = runner4.eval()
     assert "val/psnr" in vmeans and np.isfinite(vmeans["val/psnr"])
-    assert "val/lpips-vgg" in vmeans
+    assert "val/lpips-vgg-substitute" in vmeans
     assert (runner4.experiment_path / "metrics.txt").exists()
 
 
@@ -264,8 +267,9 @@ def test_metrics_psnr_ssim():
     assert M.psnr_mask(img, noisy, mask) == pytest.approx(p, abs=1e-4)
     assert M.ssim_mask(img, noisy, 1.0, mask) == pytest.approx(s, abs=1e-4)
     # lpips emits all three numbers out of the box (substitute backbones
-    # when no converted weights are present)
-    lp = M.lpips(img * 2 - 1, noisy * 2 - 1)
+    # when no converted weights are present); [0, 1] inputs per the
+    # reference's normalize=True contract
+    lp = M.lpips(img, noisy)
     assert all(v is not None and np.isfinite(v) for v in lp.values())
 
 
