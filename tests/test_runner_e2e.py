@@ -497,3 +497,67 @@ def test_resume_exact_trajectory(mega_dataset, tmp_path):
     assert int(stateD.step) == N
     assert_metrics_equal(recD, recA[s_c:], "preemption-resume")
     assert_state_equal(stateA, stateD)
+
+
+def test_epoch_permutation_sampler():
+    """Round-2 verdict item 4: classic-NeRF/memory training now samples
+    per-epoch permutations (reference DistributedSampler.set_epoch
+    semantics) instead of with-replacement draws — each epoch visits every
+    ray exactly once, and the sequence is a pure function of
+    (seed, global step) so resume replays it exactly."""
+    from switch_nerf_tpu.datasets.dataset_utils import \
+        EpochPermutationSampler
+
+    n, bs = 103, 10
+    per_epoch = n // bs
+    s = EpochPermutationSampler(n, seed=7)
+    epoch0 = np.concatenate([s.batch_indices(b, bs)
+                             for b in range(per_epoch)])
+    assert epoch0.shape == (100,)
+    assert len(np.unique(epoch0)) == 100          # no duplicates in-epoch
+    epoch1 = np.concatenate([s.batch_indices(b, bs)
+                             for b in range(per_epoch, 2 * per_epoch)])
+    assert len(np.unique(epoch1)) == 100
+    assert not np.array_equal(epoch0, epoch1)     # reshuffled per epoch
+
+    # stateless resume: a FRESH sampler reproduces any position
+    s2 = EpochPermutationSampler(n, seed=7)
+    np.testing.assert_array_equal(s2.batch_indices(13, bs),
+                                  s.batch_indices(13, bs))
+    # different seed -> different order
+    s3 = EpochPermutationSampler(n, seed=8)
+    assert not np.array_equal(s3.batch_indices(0, bs),
+                              s2.batch_indices(0, bs))
+    # degenerate n < batch_size keeps the static batch shape
+    tiny = EpochPermutationSampler(5, seed=0)
+    assert tiny.batch_indices(0, 8).shape == (8,)
+
+
+def test_memory_dataset_epoch_batches(mega_dataset):
+    """MemoryDataset.get_batch: epoch coverage + fresh-instance replay
+    (the memory-path resume-exactness building block)."""
+    import torch
+    from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+    from switch_nerf_tpu.datasets.memory_dataset import MemoryDataset
+
+    items = []
+    for i, p in enumerate(sorted(
+            (mega_dataset / "train" / "metadata").iterdir())):
+        md = torch.load(p, weights_only=False)
+        items.append(ImageMetadata(
+            mega_dataset / "train" / "rgbs" / f"{p.stem}.jpg",
+            md["c2w"].numpy(), md["W"], md["H"], md["intrinsics"].numpy(),
+            i, None, False))
+    ds = MemoryDataset(items, 0.05, 2.0, None, True, seed=3)
+    n, bs = len(ds), 32
+    per_epoch = n // bs
+    rows = np.concatenate([ds.get_batch(b, bs)["rays"]
+                           for b in range(per_epoch)])
+    # every ray visited at most once within the epoch (permutation, not
+    # with-replacement): row multiset has no duplicates
+    assert np.unique(rows, axis=0).shape[0] == rows.shape[0]
+    # a fresh dataset instance replays the identical batch at any step
+    ds2 = MemoryDataset(items, 0.05, 2.0, None, True, seed=3)
+    b17a, b17b = ds.get_batch(17, bs), ds2.get_batch(17, bs)
+    for k in b17a:
+        np.testing.assert_array_equal(b17a[k], b17b[k])
