@@ -842,6 +842,25 @@ class Runner:
         return int(i) % jax.process_count() == jax.process_index()
 
     @staticmethod
+    def _gather_image_metrics(local: Dict[int, Dict[str, float]]
+                              ) -> Dict[int, Dict[str, float]]:
+        """Merge every process's per-image metric dicts so process 0 can
+        persist the per-image record for ALL images, not just its own
+        stride (the reference saves each rank's metrics to tmp files and
+        the master aggregates them after a barrier, runner.py:1382-1397;
+        here: one host allgather). 1 MiB buffer: thousands of images at
+        ~200 B/image of JSON."""
+        if jax.process_count() == 1:
+            return dict(local)
+        from switch_nerf_tpu.utils.meters import allgather_json
+        merged: Dict[int, Dict[str, float]] = {}
+        for d in allgather_json({str(k): v for k, v in local.items()},
+                                nbytes=1 << 20):
+            for k, v in d.items():
+                merged[int(k)] = v
+        return merged
+
+    @staticmethod
     def _peak_memory_mib() -> float:
         """Max peak device memory across local devices, MiB. Analog of
         torch.cuda.max_memory_allocated (reference runner.py:1440,1449);
@@ -880,6 +899,7 @@ class Runner:
             train_index = int(state.step)
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
+        per_image: Dict[int, Dict[str, float]] = {}
         for i in range(len(self.val_items)):
             metadata = self.val_items[int(i)]
             results = self.render_image(metadata, render_chunks)
@@ -890,11 +910,15 @@ class Runner:
             gt = metadata.load_image().astype(np.float32) / 255.0
             img_metrics = self._image_metrics_half(pred, gt)
             meter.update(img_metrics)
-            if self.writer is not None:
-                for k, v in img_metrics.items():
-                    self.writer.add_scalar(f"val/{k}/{i}", v, train_index)
+            per_image[i] = img_metrics
             main_log(f"val image {i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
+        # per-image scalars for EVERY image land in TB: owners ship their
+        # stride's metrics to process 0 (which holds the only writer)
+        for i, im in sorted(self._gather_image_metrics(per_image).items()):
+            if self.writer is not None:
+                for k, v in im.items():
+                    self.writer.add_scalar(f"val/{k}/{i}", v, train_index)
         means = {f"val/{k}": v
                  for k, v in meter.mean_across_processes().items()}
         if self.writer is not None:
@@ -909,6 +933,7 @@ class Runner:
         image/metrics files (runner.py:1406-1607)."""
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
+        per_image: Dict[int, Dict[str, float]] = {}
         out_dir = (self.experiment_path / f"val_{int(state.step)}"
                    if self.experiment_path is not None else None)
         if out_dir is not None:
@@ -931,10 +956,7 @@ class Runner:
             img_metrics["time"] = render_time
             img_metrics["memory"] = self._peak_memory_mib()
             meter.update(img_metrics)
-            if self.writer is not None:
-                for k, v in img_metrics.items():
-                    self.writer.add_scalar(f"val/{k}/{i}", v,
-                                           int(state.step))
+            per_image[i] = img_metrics
             main_log(f"val image {i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
 
@@ -942,6 +964,11 @@ class Runner:
                 self._write_val_outputs(out_dir, int(i), gt, pred, results,
                                         typ, img_metrics)
 
+        for i, im in sorted(self._gather_image_metrics(per_image).items()):
+            if self.writer is not None:
+                for k, v in im.items():
+                    self.writer.add_scalar(f"val/{k}/{i}", v,
+                                           int(state.step))
         means = meter.mean_across_processes()
         main_log("val means: " + " ".join(f"{k}={v:.4f}"
                                           for k, v in means.items()))

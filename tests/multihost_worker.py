@@ -146,12 +146,24 @@ def main() -> None:
     eval_ok = (res[f"rgb_{typ}"].shape == (48, 3)
                and bool(np.isfinite(res[f"rgb_{typ}"]).all()))
 
+    # 4) per-image metric persistence (VERDICT r2 item 5): every process
+    #    owns a strided share of val images; after the gather, EVERY
+    #    process (in particular process 0, which holds the TB writer)
+    #    holds the per-image metrics of ALL images
+    local = {i: {"psnr": float(10 + i), "ssim": 0.5}
+             for i in range(6) if i % nproc == pid}
+    gathered = Runner._gather_image_metrics(local)
+    gather_ok = (sorted(gathered) == list(range(6))
+                 and all(abs(gathered[i]["psnr"] - (10 + i)) < 1e-9
+                         for i in range(6)))
+
     if pid == 0:
         print("RESULT " + json.dumps({"losses": losses,
                                       "ckpt_ok": bool(ckpt_ok),
                                       "meter_ok": bool(meter_ok),
                                       "term_ok": bool(term_ok),
-                                      "eval_ok": bool(eval_ok)}))
+                                      "eval_ok": bool(eval_ok),
+                                      "gather_ok": bool(gather_ok)}))
 
 
 if __name__ == "__main__":

@@ -77,7 +77,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert min(dist["losses"][1:]) < dist["losses"][0]
     # multi-host eval machinery: asymmetric metric aggregation, preemption
     # exit agreement, and the collective (lockstep-by-construction) render
-    for key in ("meter_ok", "term_ok", "eval_ok"):
+    for key in ("meter_ok", "term_ok", "eval_ok", "gather_ok"):
         assert ref[key], f"single-process {key} failed"
         assert dist[key], f"2-process {key} failed"
 
