@@ -2,8 +2,10 @@
 tfrecords. Parity target: switch_nerf/eval_image_blocknerf.py."""
 from switch_nerf_tpu.config import get_opts, parse_args
 from switch_nerf_tpu.runner import Runner
+from switch_nerf_tpu.utils.crash import record
 
 
+@record
 def main(hparams=None) -> None:
     if hparams is None:
         hparams = parse_args(get_opts())

@@ -2,8 +2,10 @@
 Parity target: switch_nerf/eval_nerf_moe.py."""
 from switch_nerf_tpu.config import get_opts_nerf, parse_args
 from switch_nerf_tpu.runner import Runner
+from switch_nerf_tpu.utils.crash import record
 
 
+@record
 def main(hparams=None) -> None:
     if hparams is None:
         hparams = parse_args(get_opts_nerf())

@@ -12,8 +12,10 @@ jax.sharding mesh (--mesh_shape to override).
 """
 from switch_nerf_tpu.config import get_opts, parse_args
 from switch_nerf_tpu.runner import Runner
+from switch_nerf_tpu.utils.crash import record
 
 
+@record
 def main(hparams=None) -> None:
     if hparams is None:
         hparams = parse_args(get_opts())

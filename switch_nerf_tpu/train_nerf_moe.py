@@ -5,8 +5,10 @@ Parity target: switch_nerf/train_nerf_moe.py:10-29 (asserts data_type ==
 """
 from switch_nerf_tpu.config import get_opts_nerf, parse_args
 from switch_nerf_tpu.runner import Runner
+from switch_nerf_tpu.utils.crash import record
 
 
+@record
 def main(hparams=None) -> None:
     if hparams is None:
         hparams = parse_args(get_opts_nerf())

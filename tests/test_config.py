@@ -51,3 +51,39 @@ def test_cli_still_overrides_yaml(tmp_path):
     assert h.batch_size == 55
     h2 = parse_args(get_opts(), BASE + ["--config_file", cfg])
     assert h2.batch_size == 123
+
+
+def test_cli_crash_record(tmp_path):
+    """@record analog (reference train.py:18): a raising Runner exits
+    nonzero AND leaves a structured crash report with the traceback."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    err_file = tmp_path / "crash.json"
+    env = dict(os.environ)
+    env["SWITCH_NERF_ERROR_FILE"] = str(err_file)
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','')"
+        " + ' --xla_force_host_platform_device_count=2'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from switch_nerf_tpu.train import main\n"
+        "main()\n")
+    proc = subprocess.run(
+        [sys.executable, "-c", code, "--exp_name", str(tmp_path / "exp"),
+         "--dataset_path", str(tmp_path / "missing_scene")],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=300)
+    assert proc.returncode != 0
+    assert err_file.exists(), proc.stdout[-2000:]
+    report = json.loads(err_file.read_text())
+    assert report["exc_type"] and report["traceback"]
+    assert "Traceback" in report["traceback"]
+    assert report["argv"] and report["pid"] > 0
+    assert "crash report written" in proc.stdout
