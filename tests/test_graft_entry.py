@@ -31,3 +31,19 @@ def test_dryrun_multichip_from_one_device_process():
     assert proc.returncode == 0, proc.stdout[-2000:]
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout, (
         proc.stdout[-2000:])
+
+
+import pytest
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [4, 16])
+def test_dryrun_multichip_other_mesh_sizes(n):
+    """Round-2 verdict item 9: the sharded train step generalizes beyond
+    the (4,2) mesh — n=4 gives a (2,2) mesh (EP == half the devices),
+    n=16 a (8,2) mesh (more devices than the 4 experts' EP shards)."""
+    proc = _run_in_one_device_process(
+        f"import __graft_entry__ as g; g.dryrun_multichip({n})")
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert f"dryrun_multichip({n})" in proc.stdout and "OK" in proc.stdout, (
+        proc.stdout[-2000:])
