@@ -26,6 +26,52 @@ import json
 import time
 
 BASELINE_RAYS_PER_SEC_PER_CHIP = 4064.0
+V5E_BF16_PEAK_FLOPS = 197e12      # TPU v5e: 197 TFLOP/s bf16 (394 int8)
+
+
+def _mlp_macs(cfg: dict) -> int:
+    """Matmul MACs per point through one layer-graph MLP/MoE entry
+    (expert chains are model_dim-wide per layer, exactly like mlp)."""
+    num = cfg.get("num", 1)
+    dims = [cfg["in_ch"]] + [cfg.get("h_ch", 0)] * (num - 1) + [cfg["out_ch"]]
+    return sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+
+
+def analytic_model_flops_per_step(h, appearance_count: int = 8) -> float:
+    """Analytic MODEL FLOPs of one bg-on training step (fwd + bwd = 3x
+    fwd matmul FLOPs; remat recompute deliberately EXCLUDED — this is the
+    MFU convention, so mfu < hardware utilisation whenever remat is on).
+
+    Counts every matmul the step executes per point: the NeRFMoE layer
+    graph (incl. the wg gate and external-gate MLP; capacity padding adds
+    <E slots per chunk — negligible) for fg points, the dense bg NeRF for
+    bg points, and the one-hot appearance embedding matmuls.
+    """
+    B, cs, fs = h.batch_size, h.coarse_samples, h.fine_samples
+
+    g = h.model["layers"]
+    fg_macs = sum(_mlp_macs(g[k])
+                  for k in ("xyz", "0", "1", "2", "sigma", "color",
+                            "moe_external_gate"))
+    fg_macs += g["0"]["gate_dim"] * h.moe_expert_num          # wg
+    fg_macs += appearance_count * h.appearance_dim            # one-hot emb
+    fg_pts = B * cs + B * (cs + fs)          # coarse pass + merged fine
+
+    bg_flops = 0.0
+    if h.bg_nerf:
+        w = h.bg_layer_dim
+        pe = 4 * (1 + 2 * h.pos_xyz_dim)     # bg xyz_dim=4 freq encoding
+        dir_pe = 3 * (1 + 2 * h.pos_dir_dim)
+        bg_macs = pe * w + 6 * w * w + (w + pe) * w   # 8 layers, skip@4
+        bg_macs += w * 1 + w * w                       # sigma + final
+        bg_macs += (w + dir_pe + h.appearance_dim) * (w // 2)
+        bg_macs += (w // 2) * 3
+        bg_macs += appearance_count * h.appearance_dim
+        bg_pts = B * (cs // 2) + B * (cs // 2 + fs // 2)
+        bg_flops = 2.0 * bg_macs * bg_pts
+
+    fwd = 2.0 * fg_macs * fg_pts + bg_flops
+    return 3.0 * fwd                          # fwd + bwd(2x)
 
 
 def main():
@@ -72,12 +118,17 @@ def main():
     dt = (time.perf_counter() - t0) / n_steps
 
     rays_per_sec = h.batch_size / dt
+    model_flops = analytic_model_flops_per_step(h)
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_building_b8192_global",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_PER_CHIP,
                              3),
+        # MFU vs v5e bf16 peak using analytic MODEL FLOPs (remat recompute
+        # excluded, so actual hardware utilisation is higher)
+        "mfu": round(model_flops / dt / V5E_BF16_PEAK_FLOPS, 4),
+        "model_tflops_per_step": round(model_flops / 1e12, 3),
     }))
 
 

@@ -65,15 +65,25 @@ class RenderConfig:
     return_sigma: bool = False                 # raw sigma (coarse)
     return_alpha: bool = False
     remat_chunks: bool = True
+    # assemble [chunk, D] point blocks inside the scan body instead of
+    # materialising the global [N*S, D] concat (perf experiment, r3)
+    chunk_assembly: bool = False
 
 
-def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
+def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
                       rng: Optional[jax.Array], train: bool):
     """Apply the model over fixed-size point chunks with lax.scan + remat.
 
+    `points` is either the pre-assembled [P, D] array or a TUPLE of
+    [P, d_i] column blocks to be concatenated per chunk INSIDE the scan
+    body (chunk_assembly mode: the global [P, D] concat buffer is never
+    materialised — each chunk assembles its own [chunk, D] block next to
+    the compute that consumes it).
+
     Returns (outputs [P, C], moe_loss [n_chunks, L]).
     """
-    p, d = points.shape
+    parts = points if isinstance(points, tuple) else (points,)
+    p = parts[0].shape[0]
     chunk = min(cfg.model_chunk_size, p)
     n_full = p // chunk
     rem = p - n_full * chunk
@@ -83,7 +93,9 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
         rng = jax.random.PRNGKey(0)
     chunk_rngs = jax.random.split(rng, n_chunks)
 
-    def one_chunk(pts, crng):
+    def one_chunk(pts_parts, crng):
+        pts = pts_parts[0] if len(pts_parts) == 1 \
+            else jnp.concatenate(pts_parts, axis=-1)
         noise_rng, model_rng = jax.random.split(crng)
         sigma_noise = None
         if cfg.use_sigma_noise and cfg.sigma_noise_std > 0.0 and train:
@@ -107,20 +119,24 @@ def run_model_chunked(model_fn: ModelFn, points: jnp.ndarray, cfg: RenderConfig,
     # biasing the load-balance loss
     out_parts, moe_parts = [], []
     if n_full:
-        xs = points[:n_full * chunk].reshape(n_full, chunk, d)
+        xs = tuple(x[:n_full * chunk].reshape(n_full, chunk, x.shape[1])
+                   for x in parts)
         if n_full == 1:
-            out, moe_loss = one_chunk(xs[0], chunk_rngs[0])
+            out, moe_loss = one_chunk(tuple(x[0] for x in xs),
+                                      chunk_rngs[0])
             outs, moe_losses = out[None], moe_loss[None]
         else:
             def body(carry, x):
-                pts, crng = x
-                return carry, one_chunk(pts, crng)
+                *pts_parts, crng = x
+                return carry, one_chunk(tuple(pts_parts), crng)
             _, (outs, moe_losses) = jax.lax.scan(
-                body, None, (xs, chunk_rngs[:n_full]), unroll=_SCAN_UNROLL)
+                body, None, (*xs, chunk_rngs[:n_full]),
+                unroll=_SCAN_UNROLL)
         out_parts.append(outs.reshape(n_full * chunk, -1))
         moe_parts.append(moe_losses)
     if rem:
-        out_r, moe_r = one_chunk(points[n_full * chunk:], chunk_rngs[-1])
+        out_r, moe_r = one_chunk(tuple(x[n_full * chunk:] for x in parts),
+                                 chunk_rngs[-1])
         out_parts.append(out_r)
         moe_parts.append(moe_r[None])
 
@@ -150,8 +166,11 @@ def _sort_merge(z: jnp.ndarray, rgbs: jnp.ndarray, sigmas: jnp.ndarray,
 
 
 def _build_points(xyz: jnp.ndarray, rays_d: jnp.ndarray,
-                  image_indices: Optional[jnp.ndarray], pos_dir_dim: int):
-    """[N, S, xd] (+dirs +idx broadcast over samples) -> flat [N*S, D]."""
+                  image_indices: Optional[jnp.ndarray], pos_dir_dim: int,
+                  as_parts: bool = False):
+    """[N, S, xd] (+dirs +idx broadcast over samples) -> flat [N*S, D],
+    or (as_parts) the tuple of flat column blocks for per-chunk assembly
+    inside run_model_chunked's scan body."""
     n, s, xd = xyz.shape
     parts = [xyz.reshape(n * s, xd)]
     if pos_dir_dim > 0:
@@ -160,7 +179,9 @@ def _build_points(xyz: jnp.ndarray, rays_d: jnp.ndarray,
     if image_indices is not None:
         idx = jnp.broadcast_to(image_indices[:, None, None], (n, s, 1))
         parts.append(idx.reshape(n * s, 1))
-    return jnp.concatenate(parts, axis=-1)
+    if as_parts:
+        return tuple(parts)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
@@ -180,7 +201,8 @@ def _inference(model_fn: ModelFn, xyz: jnp.ndarray, z_vals: jnp.ndarray,
             depth_real = jnp.flip(depth_real, axis=-1)
 
     n, s, _ = xyz.shape
-    pts = _build_points(xyz, rays_d, image_indices, cfg.pos_dir_dim)
+    pts = _build_points(xyz, rays_d, image_indices, cfg.pos_dir_dim,
+                        as_parts=cfg.chunk_assembly)
     out, moe_loss = run_model_chunked(model_fn, pts, cfg, rng, train)
     out = out.reshape(n, s, -1)
     if cfg.sh_deg is not None:

@@ -116,3 +116,38 @@ def test_init_multi_host_single_process_is_inert():
                           stderr=subprocess.STDOUT, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout[-2000:]
     assert "INERT_OK" in proc.stdout
+
+
+def test_cli_entry_bootstraps_multihost(tmp_path):
+    """The CLI entries call init_multi_host BEFORE touching the backend:
+    in a simulated 2-node SLURM env the entry must attempt (and loudly
+    fail) distributed initialization instead of silently training as a
+    standalone process — the reference's process-group bootstrap contract
+    (tutel_communicate_nobatch.py:160-263) delegated to jax.distributed."""
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.distributed as jd\n"
+        "calls = []\n"
+        "jd.initialize = lambda **kw: calls.append(kw)\n"
+        "import switch_nerf_tpu.train as t\n"
+        "try:\n"
+        "    t.main()\n"
+        "except SystemExit:\n"
+        "    pass\n"
+        "except Exception:\n"
+        "    pass\n"
+        "assert calls, 'init_multi_host never attempted initialize()'\n"
+        "print('BOOTSTRAP_OK')\n")
+    env = _clean_env()
+    env["SWITCH_NERF_ERROR_FILE"] = str(tmp_path / "err.json")
+    env["SLURM_JOB_NUM_NODES"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-c", code, "--exp_name", str(tmp_path / "e"),
+         "--dataset_path", str(tmp_path / "missing")],
+        env=env, cwd=str(_ROOT), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "BOOTSTRAP_OK" in proc.stdout
