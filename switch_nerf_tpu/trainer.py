@@ -70,10 +70,13 @@ def create_optimizer(hparams) -> optax.GradientTransformation:
         gamma = hparams.lr_decay_factor ** (1.0 / hparams.train_iterations)
         # under MultiSteps the schedule advances once per OPTIMIZER step
         # while the reference steps ExponentialLR every micro-iteration
-        # (runner.py:692-693); gamma^acc per optimizer step gives the
-        # identical lr value at every application point
+        # (runner.py:692-693). The reference's optimizer step c fires at
+        # micro-iteration (c+1)*acc - 1, AFTER the scheduler has stepped
+        # acc*c + (acc-1) times — so the applied lr is
+        # lr0 * gamma^(acc*c + acc - 1): decay_rate gamma^acc with a
+        # gamma^(acc-1) prefactor reproduces it exactly (acc=1: plain).
         schedule = optax.exponential_decay(
-            init_value=hparams.lr, transition_steps=1,
+            init_value=hparams.lr * gamma ** (acc - 1), transition_steps=1,
             decay_rate=gamma ** acc)
     tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
     if acc > 1:

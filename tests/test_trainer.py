@@ -315,11 +315,20 @@ def test_multisteps_lr_matches_per_microstep_reference():
     count = int(state.inner_opt_state[0].count)   # schedule/Adam count
     assert count == 2
     gamma = 0.1 ** (1.0 / 100)
-    sched = optax.exponential_decay(1e-3, 1, gamma ** 4)
-    # after 2 optimizer steps the schedule sits at the 8-micro-iteration
-    # reference value
-    np.testing.assert_allclose(float(sched(count)), 1e-3 * gamma ** 8,
+    # the reference's optimizer step c fires at micro (c+1)*4-1, after the
+    # per-micro scheduler has stepped 4c+3 times -> applied lr is
+    # lr0*gamma^(4c+3). The NEXT optimizer step (c=2) must therefore use
+    # lr0*gamma^11 (r3 fix: the previous gamma^(4c) schedule lagged the
+    # reference by gamma^3 at every step).
+    import optax as _optax
+    sched = _optax.exponential_decay(1e-3 * gamma ** 3, 1, gamma ** 4)
+    np.testing.assert_allclose(float(sched(count)), 1e-3 * gamma ** 11,
                                rtol=1e-6)
+    # and the trainer's own schedule reproduces the torch sequence of
+    # applied lrs for the first optimizer steps
+    for c in range(5):
+        np.testing.assert_allclose(float(sched(c)),
+                                   1e-3 * gamma ** (4 * c + 3), rtol=1e-6)
 
 
 def test_nonfinite_skip_discards_accumulation_window():

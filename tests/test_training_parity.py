@@ -370,11 +370,13 @@ def _make_batches(n_steps=300, n_rays=32, n_batches=16, seed=17):
 TRAJ_STEPS, TRAJ_LR, TRAJ_DECAY = 300, 2e-3, 0.1
 
 
-def _torch_trajectory(batches):
-    """Reference training loop: Adam + per-step ExponentialLR
+def _torch_trajectory(batches, acc=1):
+    """Reference training loop: Adam + per-MICRO-step ExponentialLR
     (runner.py:485-516, 692-693), loss assembled exactly like
-    _training_step + the train-loop l_aux weighting (runner.py:646-656,
-    1077-1123), fg-only rendering through the reference render_rays."""
+    _training_step + the train-loop l_aux weighting and the
+    /accumulation_steps division with optimizer steps every `acc` micro
+    iterations (runner.py:659-693), fg-only rendering through the
+    reference render_rays."""
     import torch
     from torch.optim import Adam
     from torch.optim.lr_scheduler import ExponentialLR
@@ -394,7 +396,8 @@ def _torch_trajectory(batches):
     sched = ExponentialLR(opt, gamma=TRAJ_DECAY ** (1.0 / TRAJ_STEPS))
 
     photo, all_loss, psnr = [], [], []
-    for batch in batches:
+    opt.zero_grad()
+    for m, batch in enumerate(batches):
         results, _ = ref_render_rays(
             nerf=ref, bg_nerf=None, rays=torch.tensor(batch["rays"]),
             image_indices=torch.tensor(batch["image_indices"]), hparams=hp,
@@ -405,17 +408,18 @@ def _torch_trajectory(batches):
         gate_t = (results["gate_loss_fine"].mean()
                   + results["gate_loss_coarse"].mean()) / 2.0
         loss_t = photo_t + MOE_L_AUX_WT * gate_t
-        opt.zero_grad()
-        loss_t.backward()
-        opt.step()
-        sched.step()
+        (loss_t / acc).backward()           # runner.py:659 division
+        if (m + 1) % acc == 0:              # should_accumulate window end
+            opt.step()
+            opt.zero_grad(set_to_none=True)
+        sched.step()                        # EVERY micro iteration (:692)
         photo.append(float(photo_t.detach()))
         all_loss.append(float(loss_t.detach()))
         psnr.append(float(-10.0 * np.log10(max(photo[-1], 1e-12))))
     return {"photo_loss": photo, "all_loss": all_loss, "psnr": psnr}
 
 
-def _jax_trajectory(batches):
+def _jax_trajectory(batches, acc=1):
     """Our functional trainer on the converted init params: the hparams
     ride through the real config system so the production create_optimizer
     / make_train_step path is what's exercised."""
@@ -431,6 +435,7 @@ def _jax_trajectory(batches):
 
     _, sd = _build_ref_torch_model()
     h = parse_args(get_opts(), [
+        "--accumulation_steps", str(acc),
         "--exp_name", "traj", "--dataset_path", "unused",
         "--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
         "--batch_prioritized_routing", "--moe_expert_num", str(E),
@@ -641,3 +646,26 @@ def test_mip_render_gradient_parity():
     got = jax.tree_util.tree_map(np.asarray, grads)
     fails = _tree_compare(got, want, rtol=5e-4, atol=1e-6)
     assert not fails, "gradient mismatches:\n" + "\n".join(fails)
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_grad_accum():
+    """Gradient-accumulation trajectory parity (acc=2, 120 micro-steps):
+    the torch reference divides the loss by accumulation_steps, steps the
+    optimizer every acc micro-iterations, and steps ExponentialLR every
+    MICRO iteration (runner.py:659-693); our optax.MultiSteps +
+    gamma^acc-per-optimizer-step schedule must produce the same loss
+    curve."""
+    n = 120
+    batches = _make_batches(TRAJ_STEPS)[:n]
+    ours = _jax_trajectory(batches, acc=2)
+    want = _torch_trajectory(batches, acc=2)
+    got_l = np.asarray(ours["all_loss"])
+    want_l = np.asarray(want["all_loss"])
+    rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
+    # measured after the r3 lr-prefactor fix: early 2.5e-4, median
+    # 1.2e-4, max 1.8e-3 (the pre-fix gamma^(acc-1) lag showed ~1e-2)
+    assert rel[:25].max() < 1e-3, f"early drift {rel[:25].max():.2e}"
+    assert rel.max() < 1e-2, f"late drift {rel.max():.2e}"
+    assert np.median(rel) < 1e-3, f"median drift {np.median(rel):.2e}"
+    assert want_l[-10:].mean() < 0.7 * want_l[:10].mean()
