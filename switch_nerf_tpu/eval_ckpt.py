@@ -1,18 +1,11 @@
 """Checkpoint inspection/sanity eval. Parity target: switch_nerf/eval_ckpt.py."""
 from switch_nerf_tpu.config import get_opts, parse_args
 from switch_nerf_tpu.runner import Runner
-from switch_nerf_tpu.parallel.host import init_multi_host
-from switch_nerf_tpu.utils.crash import record
+from switch_nerf_tpu.utils.crash import cli_entry
 
 
-@record
+@cli_entry
 def main(hparams=None) -> None:
-    # multi-host bootstrap BEFORE any jax backend touch: inert on
-    # single-host launches; TPU-pod/SLURM env auto-detected (jax
-    # reads SLURM_* natively — replaces the reference's scontrol
-    # parsing, tutel_communicate_nobatch.py:56-156; --use_slurm
-    # needs no special handling here)
-    init_multi_host()
     if hparams is None:
         hparams = parse_args(get_opts())
     Runner(hparams, set_experiment_path=False).eval_ckpt()

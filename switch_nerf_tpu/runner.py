@@ -848,14 +848,12 @@ class Runner:
         persist the per-image record for ALL images, not just its own
         stride (the reference saves each rank's metrics to tmp files and
         the master aggregates them after a barrier, runner.py:1382-1397;
-        here: one host allgather). 1 MiB buffer: thousands of images at
-        ~200 B/image of JSON."""
+        here: one size-negotiated host allgather — any image count)."""
         if jax.process_count() == 1:
             return dict(local)
         from switch_nerf_tpu.utils.meters import allgather_json
         merged: Dict[int, Dict[str, float]] = {}
-        for d in allgather_json({str(k): v for k, v in local.items()},
-                                nbytes=1 << 20):
+        for d in allgather_json({str(k): v for k, v in local.items()}):
             for k, v in d.items():
                 merged[int(k)] = v
         return merged

@@ -80,3 +80,20 @@ def record(fn):
                 traceback.print_exc()
             raise
     return wrapper
+
+
+def cli_entry(fn):
+    """The shared CLI-main wrapper: `record` crash discipline plus the
+    multi-host bootstrap BEFORE any jax backend touch — inert on
+    single-host launches; TPU-pod/SLURM envs auto-detected (jax reads
+    SLURM_* natively, replacing the reference's scontrol parsing,
+    tutel_communicate_nobatch.py:56-156; --use_slurm needs no special
+    handling). Every entry module applies this once, mirroring the
+    reference's per-CLI @record (e.g. switch_nerf/train.py:18)."""
+    @record
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from switch_nerf_tpu.parallel.host import init_multi_host
+        init_multi_host()
+        return fn(*args, **kwargs)
+    return wrapper

@@ -3,7 +3,7 @@
 Parity target: switch_nerf/utils/functions.py:52-90 (DictAverageMeter /
 DictAverageMeter1 — per-key running means with counts) and the reference's
 rank-strided eval aggregation (tmp metric .pt files + barriers,
-runner.py:1382-1397), which here becomes one fixed-size JSON host
+runner.py:1382-1397), which here becomes one size-negotiated JSON host
 allgather.
 """
 from __future__ import annotations
@@ -15,11 +15,11 @@ def allgather_json(obj: dict, nbytes: int = 65536) -> List[dict]:
     """Exchange one JSON-serializable dict per process; returns every
     process's dict (single-process: [obj]).
 
-    The payload rides a fixed-size uint8 buffer so the collective is
-    shape-static and robust to per-process differences in content. A
-    too-large payload sends an overflow marker instead of raising before
-    the collective (which would hang every other process) so all
-    processes raise together afterwards.
+    Two collectives: the payload lengths ride a tiny fixed buffer first,
+    then every process sizes one shared uint8 buffer to the global max
+    (rounded up to `nbytes` granularity) — shape-static on both
+    exchanges, and no payload is ever too large. `nbytes` is only the
+    minimum/rounding unit of the data buffer.
     """
     import jax
     if jax.process_count() == 1:
@@ -30,24 +30,16 @@ def allgather_json(obj: dict, nbytes: int = 65536) -> List[dict]:
     from jax.experimental import multihost_utils
 
     payload = json.dumps(obj, sort_keys=True).encode("utf-8")
-    if len(payload) + 4 > nbytes:
-        payload = json.dumps(
-            {"__overflow__": len(payload)}).encode("utf-8")
-    buf = np.zeros(nbytes, np.uint8)
-    buf[:4] = np.frombuffer(np.uint32(len(payload)).tobytes(), np.uint8)
-    buf[4:4 + len(payload)] = np.frombuffer(payload, np.uint8)
+    lengths = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64))).reshape(-1)
+    cap = max(int(lengths.max()), 1)
+    cap = ((cap + nbytes - 1) // nbytes) * nbytes   # same on all procs
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
     gathered = np.asarray(multihost_utils.process_allgather(buf))
 
-    out = []
-    for row in gathered:
-        n = int(np.frombuffer(row[:4].tobytes(), np.uint32)[0])
-        d = json.loads(row[4:4 + n].tobytes().decode("utf-8"))
-        if "__overflow__" in d:
-            raise ValueError(
-                f"a process's payload ({d['__overflow__']}B) exceeds the "
-                f"{nbytes}B exchange buffer")
-        out.append(d)
-    return out
+    return [json.loads(row[:int(n)].tobytes().decode("utf-8"))
+            for row, n in zip(gathered, lengths)]
 
 
 class DictAverageMeter:
