@@ -1,6 +1,6 @@
 """Profile the benchmark train step and print an hlo_category time table.
 
-    python tools/profile_step.py [--steps=5] [--no-bg]
+    python tools/profile_step.py [--steps=5] [--no-bg] [--mission-bay]
 
 Runs the exact bench.py workload under jax.profiler.trace, parses the
 *.trace.json.gz device track (tid 3 = leaf ops), and aggregates device op
@@ -23,6 +23,28 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def build_step_mission_bay():
+    """The second headline workload (see tools/bench_mission_bay.py)."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from bench_mission_bay import PER_CHIP_BATCH, mission_bay_hparams
+    from switch_nerf_tpu.models.model_utils import get_nerf
+    from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
+                                         make_train_step,
+                                         render_config_from_hparams)
+    h = mission_bay_hparams(PER_CHIP_BATCH, 8192)
+    model = get_nerf(h, appearance_count=8)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
+    cfg = render_config_from_hparams(h)
+    step = jax.jit(make_train_step(model, None, h, cfg, SceneInfo(),
+                                   mip=True),
+                   donate_argnums=0)
+    batch = _make_batch(h, h.batch_size)
+    batch["radii"] = jnp.full((h.batch_size, 1), 2.5e-3, jnp.float32)
+    return step, state, batch, h.batch_size
 
 
 def build_step(bg: bool):
@@ -98,13 +120,21 @@ def parse_trace(trace_dir: str):
 def main():
     steps = 5
     bg = True
+    mission_bay = False
     for a in sys.argv[1:]:
         if a.startswith("--steps="):
             steps = int(a.split("=")[1])
         if a == "--no-bg":
             bg = False
+        if a == "--mission-bay":
+            mission_bay = True
 
-    step, state, batch = build_step(bg)
+    if mission_bay:
+        step, state, batch, bsz = build_step_mission_bay()
+        label = "mission_bay"
+    else:
+        step, state, batch = build_step(bg)
+        bsz, label = 1024, f"bg={bg}"
     state, metrics = step(state, batch)
     float(metrics["loss"])                     # real sync through the tunnel
 
@@ -115,8 +145,8 @@ def main():
             state, metrics = step(state, batch)
         float(metrics["loss"])
     wall = (time.perf_counter() - t0) / steps
-    print(f"bg={bg} steps={steps} wall/step={wall*1000:.1f} ms "
-          f"({1024/wall:.0f} rays/s/chip)")
+    print(f"{label} steps={steps} wall/step={wall*1000:.1f} ms "
+          f"({bsz/wall:.0f} rays/s/chip)")
 
     cat_time, op_time, loop_time, total = parse_trace(trace_dir)
     print(f"\ndevice time by hlo_category ({total/steps*1000:.1f} ms/step):")
