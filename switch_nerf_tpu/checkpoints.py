@@ -58,12 +58,21 @@ def _param_fingerprint(params) -> str:
 
 def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
                     dataset_index: int = -1, keep: int = 0,
-                    sharded: Optional[bool] = None) -> Path:
+                    sharded: Optional[bool] = None,
+                    host_iteration: Optional[int] = None) -> Path:
     """Write checkpoint for `state` at state.step. Returns the path.
 
     sharded=None auto-selects: orbax sharded format when running
     multi-process (each process writes its addressable shards), msgpack
     otherwise. All processes must call this in multi-process runs.
+
+    host_iteration is the runner's batch counter, which counts every
+    consumed batch; state.step counts only applied optimizer steps, so
+    the two diverge when a non-finite step was skipped (trainer lax.cond
+    keeps the old state). Exact resume must restore the batch counter —
+    it keys the memory/classic batch streams — not re-derive it from
+    state.step (reference saves 'iteration' separately for the same
+    reason, runner.py:2799-2818).
     """
     if sharded is None:
         sharded = jax.process_count() > 1
@@ -72,6 +81,8 @@ def save_checkpoint(ckpt_dir, state, dataset_state: Optional[str] = None,
 
     extra = {
         "iteration": step,
+        "host_iteration": (int(host_iteration) if host_iteration is not None
+                           else step),
         "dataset_state": dataset_state,
         "dataset_index": dataset_index,
         "param_fingerprint": _param_fingerprint(state.params),

@@ -334,17 +334,26 @@ def parse_args(parser: argparse.ArgumentParser,
     """Parse with YAML-config default folding. CLI > YAML > code default."""
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
-    # _apply_yaml_defaults flips `required` off for options the YAML
-    # satisfies; restore afterwards so a reused parser instance still
-    # enforces required options on a later config-less parse
+    # _apply_yaml_defaults mutates the parser in two ways: it flips
+    # `required` off for options the YAML satisfies, and set_defaults()
+    # overwrites action defaults with the YAML values. Restore BOTH
+    # afterwards, or a reused parser instance silently leaks this
+    # parse's config values (and loses required-enforcement) into a
+    # later config-less parse
     was_required = [(a, a.required) for a in parser._actions
                     if getattr(a, "required", False)]
+    prev_defaults = [(a, a.default) for a in parser._actions]
+    prev_default_map = dict(parser._defaults)
     argv = _apply_yaml_defaults(parser, argv)
     try:
         hparams = parser.parse_args(argv)
     finally:
         for a, req in was_required:
             a.required = req
+        for a, d in prev_defaults:
+            a.default = d
+        parser._defaults.clear()
+        parser._defaults.update(prev_default_map)
     if hparams.model is not None and isinstance(hparams.model, str):
         hparams.model = yaml.safe_load(hparams.model)
     if getattr(hparams, "model_bg", None) is not None and isinstance(

@@ -455,7 +455,7 @@ class Runner:
         main_log(f"Total parameters number is "
                  f"{count_parameters(state.params)/1024/1024:.4f} M")
 
-        dataset_state, discard_index = None, -1
+        dataset_state, discard_index, resumed_host_iter = None, -1, None
         if h.ckpt_path is not None and jax.process_count() == 1:
             state, extra = load_checkpoint(h.ckpt_path, state,
                                            h.resume_ckpt_state)
@@ -464,6 +464,7 @@ class Runner:
                 # gates set_state the same way, runner.py:538-539)
                 dataset_state = extra.get("dataset_state")
                 discard_index = extra.get("dataset_index", -1)
+                resumed_host_iter = extra.get("host_iteration")
             main_log(f"Resumed from iteration {int(state.step)}")
 
         state = self._setup_device(state)
@@ -475,6 +476,7 @@ class Runner:
             if h.resume_ckpt_state:
                 dataset_state = extra.get("dataset_state")
                 discard_index = extra.get("dataset_index", -1)
+                resumed_host_iter = extra.get("host_iteration")
             main_log(f"Resumed from iteration {int(state.step)}")
         train_step = jax.jit(make_train_step(
             self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip),
@@ -515,7 +517,17 @@ class Runner:
             return
 
         meter = DictAverageMeter()
-        train_iterations = int(state.step)
+        # the batch counter resumes from the checkpoint's host_iteration,
+        # NOT state.step: a skipped non-finite step consumes a batch (and
+        # keys the memory sampler forward) without advancing state.step,
+        # so deriving the counter from step would replay a shifted batch
+        # sequence after resume. Deviation from the reference (which does
+        # not count skipped steps as iterations): counting consumed
+        # batches keeps the counter exactly resumable without a per-step
+        # host sync on the finite flag.
+        train_iterations = (int(resumed_host_iter)
+                            if resumed_host_iter is not None
+                            else int(state.step))
         t_start = time.time()
         # data_sample_time / fwd_bwd_time per print window
         # (reference runner.py:581-595). Device steps are async; the
@@ -628,7 +640,8 @@ class Runner:
                                                    if h.dataset_type ==
                                                    "filesystem" else None),
                                     dataset_index=dataset_index,
-                                    keep=h.ckpt_keep)
+                                    keep=h.ckpt_keep,
+                                    host_iteration=train_iterations)
                     main_log(f"Saved checkpoint at {train_iterations}")
 
                 if train_iterations % h.val_interval == 0:
@@ -658,7 +671,8 @@ class Runner:
                             dataset_state=(dataset.get_state()
                                            if h.dataset_type == "filesystem"
                                            else None),
-                            dataset_index=dataset_index, keep=h.ckpt_keep)
+                            dataset_index=dataset_index, keep=h.ckpt_keep,
+                            host_iteration=train_iterations)
                     main_log(f"SIGTERM: checkpoint saved at iteration "
                              f"{train_iterations}; exiting")
                     _release_term_latch(term)
@@ -684,9 +698,12 @@ class Runner:
         state = create_train_state(self.init_rng, h, self.nerf, None)
         main_log(f"Total parameters number is "
                  f"{count_parameters(state.params)/1024/1024:.4f} M")
+        resumed_host_iter = None
         if h.ckpt_path is not None:
-            state, _ = load_checkpoint(h.ckpt_path, state,
-                                       h.resume_ckpt_state)
+            state, extra = load_checkpoint(h.ckpt_path, state,
+                                           h.resume_ckpt_state)
+            if h.resume_ckpt_state:
+                resumed_host_iter = extra.get("host_iteration")
         state = self._setup_device(state)
         train_step = jax.jit(make_train_step(
             self.nerf, None, h, render_cfg, scene, mip=self.mip),
@@ -695,7 +712,12 @@ class Runner:
         meter = DictAverageMeter()
         iters_per_epoch = max(len(self.train_set) // h.batch_size, 1)
         total = h.num_epochs * iters_per_epoch
-        train_iterations = int(state.step)
+        # batch counter rides the checkpoint (see train(): state.step lags
+        # it after a skipped non-finite step, and it keys the per-epoch
+        # permutation sampler)
+        train_iterations = (int(resumed_host_iter)
+                            if resumed_host_iter is not None
+                            else int(state.step))
         t_start = time.time()
         while train_iterations < total:
             batch = self.train_set.get_batch(train_iterations,
@@ -710,13 +732,15 @@ class Runner:
                          + " ".join(f"{k}={v:.4f}" for k, v in m_host.items()))
             if self.model_path is not None and \
                     train_iterations % h.ckpt_interval == 0:
-                save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
+                save_checkpoint(self.model_path, state, keep=h.ckpt_keep,
+                                host_iteration=train_iterations)
             check_term = (jax.process_count() == 1
                           or train_iterations % 10 == 0)
             if check_term and _global_term_requested(term):
                 # latch released only AFTER the save (see train())
                 if self.model_path is not None:
-                    save_checkpoint(self.model_path, state, keep=h.ckpt_keep)
+                    save_checkpoint(self.model_path, state, keep=h.ckpt_keep,
+                                    host_iteration=train_iterations)
                 main_log(f"SIGTERM: checkpoint saved at iteration "
                          f"{train_iterations}; exiting")
                 _release_term_latch(term)

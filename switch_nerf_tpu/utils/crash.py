@@ -93,7 +93,11 @@ def cli_entry(fn):
     @record
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        from switch_nerf_tpu.parallel.host import init_multi_host
-        init_multi_host()
+        # --help must print usage immediately, not block in
+        # jax.distributed.initialize waiting for peers that will never
+        # run the same command (argv parsing happens inside fn)
+        if not {"-h", "--help"}.intersection(sys.argv[1:]):
+            from switch_nerf_tpu.parallel.host import init_multi_host
+            init_multi_host()
         return fn(*args, **kwargs)
     return wrapper

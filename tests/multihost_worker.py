@@ -157,13 +157,17 @@ def main() -> None:
                  and all(abs(gathered[i]["psnr"] - (10 + i)) < 1e-9
                          for i in range(6)))
 
+    # every ok flag is per-process state — AND them across ALL ranks so a
+    # check that holds on rank 0 but fails on a non-zero rank (e.g. a
+    # rank-dependent gather bug) cannot pass unnoticed
+    from switch_nerf_tpu.utils.meters import allgather_json
+    flags = {"ckpt_ok": bool(ckpt_ok), "meter_ok": bool(meter_ok),
+             "term_ok": bool(term_ok), "eval_ok": bool(eval_ok),
+             "gather_ok": bool(gather_ok)}
+    all_flags = allgather_json(flags)
+    merged = {k: all(d[k] for d in all_flags) for k in flags}
     if pid == 0:
-        print("RESULT " + json.dumps({"losses": losses,
-                                      "ckpt_ok": bool(ckpt_ok),
-                                      "meter_ok": bool(meter_ok),
-                                      "term_ok": bool(term_ok),
-                                      "eval_ok": bool(eval_ok),
-                                      "gather_ok": bool(gather_ok)}))
+        print("RESULT " + json.dumps(dict(merged, losses=losses)))
 
 
 if __name__ == "__main__":

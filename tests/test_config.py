@@ -53,6 +53,23 @@ def test_cli_still_overrides_yaml(tmp_path):
     assert h2.batch_size == 123
 
 
+def test_parser_reuse_not_contaminated(tmp_path):
+    """parse_args restores BOTH parser mutations from YAML folding —
+    `required` flags AND set_defaults values — so a reused parser
+    instance neither loses required-enforcement nor leaks the previous
+    parse's config values into a config-less parse."""
+    cfg = _cfg(tmp_path, "batch_size: 123\n")
+    parser = get_opts()
+    h1 = parse_args(parser, BASE + ["--config_file", cfg])
+    assert h1.batch_size == 123
+    # second parse on the SAME parser, no config file: code default back
+    h2 = parse_args(parser, BASE)
+    assert h2.batch_size != 123
+    # and required options are still enforced
+    with pytest.raises(SystemExit):
+        parse_args(parser, [])
+
+
 def test_cli_crash_record(tmp_path):
     """@record analog (reference train.py:18): a raising Runner exits
     nonzero AND leaves a structured crash report with the traceback."""

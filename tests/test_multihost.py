@@ -151,3 +151,30 @@ def test_cli_entry_bootstraps_multihost(tmp_path):
         stderr=subprocess.STDOUT, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout[-2000:]
     assert "BOOTSTRAP_OK" in proc.stdout
+
+
+def test_cli_help_skips_multihost_bootstrap(tmp_path):
+    """`--help` on a multi-node launch must print usage immediately —
+    NOT block inside jax.distributed.initialize waiting for peer
+    processes that will never run the same command."""
+    code = (
+        "import jax.distributed as jd\n"
+        "def _boom(**kw):\n"
+        "    raise AssertionError('initialize() must not run for --help')\n"
+        "jd.initialize = _boom\n"
+        "import switch_nerf_tpu.train as t\n"
+        "try:\n"
+        "    t.main()\n"
+        "except SystemExit as e:\n"
+        "    assert not e.code, e.code\n"
+        "print('HELP_OK')\n")
+    env = _clean_env()
+    env["SWITCH_NERF_ERROR_FILE"] = str(tmp_path / "err.json")
+    env["SLURM_JOB_NUM_NODES"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-c", code, "--help"],
+        env=env, cwd=str(_ROOT), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "HELP_OK" in proc.stdout
+    assert "usage" in proc.stdout.lower()

@@ -499,6 +499,101 @@ def test_resume_exact_trajectory(mega_dataset, tmp_path):
     assert_state_equal(stateA, stateD)
 
 
+def test_resume_exact_after_skipped_step(mega_dataset, tmp_path,
+                                         monkeypatch):
+    """Exact resume must survive a skipped non-finite step on the MEMORY
+    path: the skip (trainer lax.cond, reference runner.py:620-673)
+    consumes a batch without advancing state.step, so the checkpoint
+    carries the host batch counter separately (extra['host_iteration'])
+    and resume restores it — deriving the counter from state.step would
+    replay a shifted batch sequence (one batch trained twice, all later
+    batches offset)."""
+    import jax
+    import switch_nerf_tpu.runner as R
+    from switch_nerf_tpu.datasets.memory_dataset import MemoryDataset
+
+    N, NAN_AT, CKPT = 10, 3, 5
+    orig_make = R.make_train_step
+    orig_get = MemoryDataset.get_batch
+
+    def poisoned(self, global_batch, batch_size):
+        b = orig_get(self, global_batch, batch_size)
+        if global_batch == NAN_AT:
+            b = dict(b, rgbs=np.full_like(b["rgbs"], np.nan))
+        return b
+
+    monkeypatch.setattr(MemoryDataset, "get_batch", poisoned)
+
+    def run(h):
+        recs = {}
+
+        def recording(*a, **k):
+            f = orig_make(*a, **k)
+
+            def record(step, m):
+                # key by (post-step counter, finite flag): a skipped
+                # batch repeats the step value but carries finite=0
+                recs[(int(step), int(m.get("finite", 1)))] = {
+                    k2: np.asarray(v).copy() for k2, v in m.items()}
+
+            def g(state, batch):
+                state, m = f(state, batch)
+                jax.debug.callback(record, state.step, m)
+                return state, m
+            return g
+
+        R.make_train_step = recording
+        try:
+            runner = R.Runner(h)
+            state = runner.train()
+        finally:
+            R.make_train_step = orig_make
+        return runner, jax.device_get(state), recs
+
+    # A: uninterrupted. 10 batches consumed, batch 3 skipped -> 9 steps
+    hA = mega_hparams(mega_dataset, tmp_path / "A",
+                      train_iterations=N, ckpt_interval=CKPT,
+                      val_interval=10 ** 9, i_print=100)
+    runnerA, stateA, recA = run(hA)
+    assert int(stateA.step) == N - 1, "exactly one skipped step expected"
+    assert (NAN_AT, 0) in recA, "the NaN batch must be recorded as a skip"
+
+    # the interval checkpoint fired at batch counter 5 = state.step 4,
+    # and must record both counters
+    ckpt = runnerA.model_path / str(CKPT - 1)
+    assert ckpt.exists()
+    extra = json.loads((ckpt / "extra.json").read_text())
+    assert extra["iteration"] == CKPT - 1
+    assert extra["host_iteration"] == CKPT
+
+    # B: resume from it. Must consume batches 5..9 (5 more steps) and
+    # land bit-equal with A — not re-train batch 4 / overshoot to step 10
+    hB = mega_hparams(mega_dataset, tmp_path / "B",
+                      train_iterations=N, ckpt_interval=10 ** 9,
+                      val_interval=10 ** 9, i_print=100)
+    hB.ckpt_path = str(ckpt)
+    assert hB.resume_ckpt_state
+    _, stateB, recB = run(hB)
+    assert int(stateB.step) == N - 1
+    for key, want in recA.items():
+        if key[0] >= CKPT:          # post-resume steps
+            assert key in recB
+            for k in want:
+                np.testing.assert_array_equal(
+                    recB[key][k], want[k],
+                    err_msg=f"step {key} metric {k}")
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                {"params": stateA.params, "opt": stateA.opt_state,
+                 "rng": stateA.rng}),
+            jax.tree_util.tree_leaves_with_path(
+                {"params": stateB.params, "opt": stateB.opt_state,
+                 "rng": stateB.rng})):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
 def test_epoch_permutation_sampler():
     """Round-2 verdict item 4: classic-NeRF/memory training now samples
     per-epoch permutations (reference DistributedSampler.set_epoch
