@@ -101,6 +101,33 @@ def test_dispatch_combine_vs_oracle(top_k, bpr, cf, is_postscore):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("s,e", [(16, 1), (3, 8)])
+def test_dispatch_edge_shapes(s, e):
+    """Degenerate shapes the reference tolerates implicitly: a single
+    expert (E=1 — dense equivalence) and fewer tokens than experts
+    (S<E — most experts empty; capacity still >= 1)."""
+    rng = np.random.RandomState(0)
+    m = 8
+    logits = rng.randn(s, e).astype(np.float32)
+    gates = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    x = rng.randn(s, m).astype(np.float32)
+
+    plan, l_aux = extract_critical(jnp.asarray(gates), 1, 1.0,
+                                   batch_prioritized_routing=True)
+    dp = build_dispatch_plan(plan, e)
+    disp = dispatch(jnp.asarray(x), dp)
+    out = combine(jnp.tanh(disp), dp)
+
+    want_out, want_disp = naive_moe(
+        x.astype(np.float64), gates.astype(np.float64), 1, 1.0, True,
+        lambda d: np.tanh(d), True)
+    np.testing.assert_allclose(np.asarray(disp), want_disp,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), want_out,
+                               rtol=1e-4, atol=1e-5)
+    assert np.isfinite(float(l_aux))
+
+
 def test_load_balance_value():
     # perfectly balanced top-1 on 2 experts with uniform gates -> loss = 1.0
     s, e = 8, 2
