@@ -8,6 +8,12 @@ the backbones are reimplemented here and parameterised by a .npz produced
 once (wherever torchvision + lpips are installed) by
 scripts/convert_lpips_weights.py. Point SWITCH_NERF_LPIPS_WEIGHTS at it.
 
+Numerics are pinned against a torch oracle (tests/test_lpips_torch_oracle.py):
+the exact torchvision feature stacks rebuilt in plain torch with random
+weights, exported through the real converter, reproduce the lpips-package
+forward protocol here to ~1e-7 relative — including squeezenet1_1's
+ceil_mode=True pooling and the f/(||f||+eps) normalization.
+
 npz layout (keys):
     <net>/conv<i>/kernel   [kh, kw, cin, cout]   (HWIO)
     <net>/conv<i>/bias     [cout]
@@ -59,9 +65,21 @@ def _conv(x, kernel, bias, stride=1, padding=0):
     return out + bias[None, None, None, :]
 
 
-def _maxpool(x, k=3, s=2):
+def _maxpool(x, k=3, s=2, ceil_mode=False):
+    """torch.nn.MaxPool2d semantics. ceil_mode=True (squeezenet1_1's
+    pools) includes the partial last window — implemented as right/bottom
+    -inf padding sized so every ceil-counted window exists."""
+    pads = []
+    for dim in (1, 2):
+        size = x.shape[dim]
+        if ceil_mode:
+            out = -((size - k) // -s) + 1
+            pads.append((0, max(0, (out - 1) * s + k - size)))
+        else:
+            pads.append((0, 0))
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID")
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1),
+        [(0, 0), pads[0], pads[1], (0, 0)])
 
 
 def _vgg_features(x, w) -> List[jnp.ndarray]:
@@ -105,7 +123,7 @@ def _squeeze_features(x, w) -> List[jnp.ndarray]:
     ci = 1
     for fi, (sq, e1, e3) in enumerate(_SQUEEZE_FIRES):
         if fi in _SQUEEZE_POOL_BEFORE:
-            x = _maxpool(x, 3, 2)
+            x = _maxpool(x, 3, 2, ceil_mode=True)   # squeezenet1_1 pools
         s = jax.nn.relu(_conv(x, w[f"conv{ci}/kernel"], w[f"conv{ci}/bias"]))
         a = jax.nn.relu(_conv(s, w[f"conv{ci+1}/kernel"],
                               w[f"conv{ci+1}/bias"]))
@@ -124,7 +142,8 @@ _EXTRACTORS = {"vgg": _vgg_features, "alex": _alex_features,
 
 
 def _unit_normalize(f):
-    return f / jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-10)
+    # exactly lpips.normalize_tensor: eps OUTSIDE the sqrt (f/(||f||+eps))
+    return f / (jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True)) + 1e-10)
 
 
 def lpips_distance(img0: jnp.ndarray, img1: jnp.ndarray, net: str,
