@@ -75,6 +75,20 @@ def convert_nerf_moe_state_dict(sd) -> dict:
         elif ".gates." in key and key.endswith("wg.weight"):
             tag = key.split(".")[1]
             out[f"layer_{tag}/wg/kernel"] = take(key).T
+        elif ".residual_expert." in key:
+            # DeepSpeed-style residual MoE (tutel_moe_layer_nobatch.py:
+            # 666-672, 778-788): a 1-expert ExpertMLP stack
+            parts = key.split(".")      # layers t residual_expert weights j
+            tag, kind, j = parts[1], parts[3], parts[4]
+            name = "w" if kind == "weights" else "b"
+            out[f"layer_{tag}/residual_expert/{name}{j}"] = take(key)
+        elif ".coefficient." in key:
+            # residual blend Linear(model_dim, 2) (:504-505)
+            tag = key.split(".")[1]
+            if key.endswith(".weight"):
+                out[f"layer_{tag}/coefficient/kernel"] = take(key).T
+            else:
+                out[f"layer_{tag}/coefficient/bias"] = take(key)
         elif ".experts." in key:
             parts = key.split(".")            # layers t experts 0 weights j
             tag, kind, j = parts[1], parts[4], parts[5]

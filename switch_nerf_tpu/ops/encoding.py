@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["freq_bands", "freq_encode", "mip_encode", "shifted_softplus", "eval_sh"]
 
@@ -47,7 +48,9 @@ def freq_encode(x: jnp.ndarray, num_freqs: int, logscale: bool = True) -> jnp.nd
     angles = (x[..., None, None, :] * bands[:, None, None]
               + phase[:, None])                              # [.., F, 2, D]
     sc = jnp.sin(angles.reshape(*x.shape[:-1], 2 * num_freqs * d))
-    return jnp.concatenate([x, sc], axis=-1)
+    # named for the remat policy (saveable via SWITCH_NERF_REMAT_SAVE);
+    # a no-op tag outside jax.checkpoint
+    return checkpoint_name(jnp.concatenate([x, sc], axis=-1), "pe_out")
 
 
 def mip_encode(mean_cov: jnp.ndarray, num_freqs: int, logscale: bool = True,
@@ -75,7 +78,7 @@ def mip_encode(mean_cov: jnp.ndarray, num_freqs: int, logscale: bool = True,
     flat = (*mean.shape[:-1], 2 * num_freqs * d)
     sc = jnp.sin(angles.reshape(flat)) * \
         jnp.broadcast_to(atten, angles.shape).reshape(flat)
-    return jnp.concatenate([mean, sc], axis=-1)
+    return checkpoint_name(jnp.concatenate([mean, sc], axis=-1), "pe_out")
 
 
 def shifted_softplus(x: jnp.ndarray, beta: float = 1.0, threshold: float = 20.0) -> jnp.ndarray:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -111,8 +112,14 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         # boundary: the backward then reuses them instead of re-running the
         # routing sorts and dispatch gathers (~67 MB/chunk bf16 + few MB
         # int32 — cheap next to the recompute)
-        policy = jax.checkpoint_policies.save_only_these_names(
-            "moe_plan", "moe_dispatched")
+        names = ("moe_plan", "moe_dispatched")
+        # experiment hook: extra named save-points, comma-separated
+        # (e.g. SWITCH_NERF_REMAT_SAVE=pe_out saves the PE sines instead
+        # of recomputing them in the backward)
+        extra = os.environ.get("SWITCH_NERF_REMAT_SAVE", "")
+        if extra:
+            names += tuple(n for n in extra.split(",") if n)
+        policy = jax.checkpoint_policies.save_only_these_names(*names)
         one_chunk = jax.checkpoint(one_chunk, policy=policy)
 
     # full-size chunks go through the scan; a non-dividing remainder runs

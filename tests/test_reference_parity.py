@@ -739,3 +739,101 @@ def test_load_importance_loss_parity():
     got = float(load_importance_loss(jnp.asarray(scores), jnp.asarray(topk),
                                      e, noise))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_moe_layer_residual_parity():
+    """DeepSpeed-style residual MoE (tutel_moe_layer_nobatch.py:504-505,
+    666-672, 778-788): reference MOELayer(use_residual=True) vs our
+    MoELayer(use_residual=True) with the converted checkpoint — including
+    the new residual_expert/coefficient converter branches."""
+    import torch
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+    from switch_nerf.modules.tutel_moe_ext.tutel_moe_nobatch import moe_layer
+
+    m, e = 16, 4
+    torch.manual_seed(21)
+    ref = moe_layer(
+        gate_type={"type": "top", "k": 1, "fp32_gate": True, "gate_dim": m,
+                   "capacity_factor": 1.0, "gate_noise": -1.0,
+                   "batch_prioritized_routing": True},
+        model_dim=m,
+        experts={"type": "expertmlp", "count_per_node": e,
+                 "layer_num": 2, "skips": [1], "init_factor": 1.0},
+        seeds=(1, 2, 3), scan_expert_func=None, use_residual=True).eval()
+    # the zero-init coefficient would blend 50/50 regardless of input;
+    # randomize so the test pins the actual softmax blend
+    with torch.no_grad():
+        ref.coefficient.weight.normal_(0, 0.5)
+        ref.coefficient.bias.normal_(0, 0.5)
+    sd = {f"layers.0.{k}": v.clone() for k, v in ref.state_dict().items()}
+
+    x = torch.tensor(np.random.default_rng(13).normal(
+        0, 1, (64, m)).astype(np.float32))
+
+    # oracle: base MoE via the reference's own seqexperts pure-torch
+    # strategy, then the residual blend via the reference's own modules
+    # (exactly MOELayer.forward:778-788)
+    def strip(k):
+        for prefix in ("module.layers.0.", "layers.0."):
+            if k.startswith(prefix):
+                return k[len(prefix):]
+        return k
+    base_sd = convert_to_seqexperts(
+        {k: v.clone() for k, v in sd.items()
+         if ".residual_expert." not in k and ".coefficient." not in k})
+    ref_seq = _build_ref_moe("seqexperts").eval()
+    ref_seq.load_state_dict({strip(k): v for k, v in base_sd.items()})
+    with torch.no_grad():
+        base = ref_seq(
+            x, gate_input=x,
+            apply_on_expert_fn_name="apply_on_expert_fn_nobatch_torch")
+        res_out = ref.residual_expert(
+            x.reshape(1, 1, -1, m), ref).reshape(-1, m)
+        coef = torch.softmax(ref.coefficient(x), dim=-1)
+        want = (base * coef[..., 0:1] + res_out * coef[..., 1:]).numpy()
+
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.moe import MoELayer
+
+    flat = convert_nerf_moe_state_dict({k: v.numpy() for k, v in sd.items()})
+    assert "layer_0/residual_expert/w0" in flat
+    assert "layer_0/coefficient/kernel" in flat
+    params = unflatten(flat)["layer_0"]
+    ours = MoELayer(model_dim=m, num_experts=e, layer_num=2, skips=(1,),
+                    top_k=1, batch_prioritized_routing=True,
+                    use_residual=True,
+                    train_dispatch="nodrop", eval_dispatch="nodrop")
+    y, _, _ = ours.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+
+
+def test_normmlp_parity():
+    """NormMlp (reference nerf_moe.py:51-101, graph type 'normmlp'
+    :293-295): LayerNorm-before-activation placement, including the
+    skip-connection interplay, vs the converted checkpoint."""
+    import torch
+    from switch_nerf.models.nerf_moe import NormMlp as RefNormMlp
+
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import map_mlp, unflatten
+    from switch_nerf_tpu.models.mlp import NormMlp
+
+    m = 12
+    torch.manual_seed(31)
+    ref = RefNormMlp(in_features=m, hidden_features=m, out_features=8,
+                     layer_num=4, skips=[1], norm_name="layernorm").eval()
+    sd = {f"nm.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    flat = {}
+    n_fcs = map_mlp(sd, "nm", flat, "nm")
+    assert n_fcs == 4 and "nm/norm0/scale" in flat and "nm/norm3/scale" \
+        not in flat  # no norm after the last fc (reference :65-72)
+
+    x_np = np.random.default_rng(17).normal(0, 1, (33, m)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x_np)).numpy()
+    ours = NormMlp(hidden_features=m, out_features=8, layer_num=4,
+                   skips=(1,), norm_name="layernorm")
+    got = ours.apply({"params": unflatten(flat)["nm"]}, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

@@ -182,3 +182,33 @@ def test_run_model_chunked_remainder_runs_exact_size():
     # trace saw a full-size chunk and the exact 100-3*32=4-row remainder
     assert 32 in seen_sizes and 4 in seen_sizes, seen_sizes
     assert ml_small.shape[0] == 4        # 3 full + 1 remainder chunk rows
+
+
+def test_remat_save_names_invariant(monkeypatch):
+    """Gradients through run_model_chunked are bit-identical whether the
+    remat policy saves only the MoE names (default) or also the PE sines
+    (SWITCH_NERF_REMAT_SAVE=pe_out) — the save-list is a memory/time knob,
+    never a numerics one. Also pins remat on == remat off."""
+    from switch_nerf_tpu.ops.encoding import freq_encode
+
+    pts = jnp.asarray(np.random.RandomState(5).randn(64, 3).astype(np.float32))
+
+    def loss(w, cfg):
+        def fn(p, sigma_noise, rng, train):
+            enc = freq_encode(p, 4)                  # tagged "pe_out"
+            out = jnp.tanh(enc @ w)
+            return out, jnp.zeros((0,), jnp.float32)
+        out, _ = run_model_chunked(fn, pts, cfg, jax.random.PRNGKey(0), True)
+        return jnp.sum(out ** 2)
+
+    w = jnp.asarray(np.random.RandomState(6).randn(27, 4).astype(np.float32))
+    grads = {}
+    for name, env, remat in [("default", "", True),
+                             ("pe_out", "pe_out", True),
+                             ("no_remat", "", False)]:
+        monkeypatch.setenv("SWITCH_NERF_REMAT_SAVE", env)
+        cfg = RenderConfig(model_chunk_size=16, remat_chunks=remat)
+        grads[name] = np.asarray(jax.grad(loss)(w, cfg))
+    np.testing.assert_array_equal(grads["default"], grads["pe_out"])
+    np.testing.assert_allclose(grads["default"], grads["no_remat"],
+                               rtol=1e-6, atol=1e-7)
