@@ -59,7 +59,8 @@ def test_dense_nerf_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def _build_ref_moe(expert_type, seed=7, m=16, e=4, layer_num=2, skips=(1,)):
+def _build_ref_moe(expert_type, seed=7, m=16, e=4, layer_num=2, skips=(1,),
+                   top_k=1):
     import torch
     from switch_nerf.modules.tutel_moe_ext.tutel_moe_nobatch import moe_layer
     from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
@@ -76,9 +77,9 @@ def _build_ref_moe(expert_type, seed=7, m=16, e=4, layer_num=2, skips=(1,)):
              for _ in range(e)])
         experts = {"type": "seqexperts", "count_per_node": e, "net": net}
     return moe_layer(
-        gate_type={"type": "top", "k": 1, "fp32_gate": True, "gate_dim": m,
-                   "capacity_factor": 1.0, "gate_noise": -1.0,
-                   "batch_prioritized_routing": True},
+        gate_type={"type": "top", "k": top_k, "fp32_gate": True,
+                   "gate_dim": m, "capacity_factor": 1.0,
+                   "gate_noise": -1.0, "batch_prioritized_routing": True},
         model_dim=m, experts=experts, seeds=(1, 2, 3),
         scan_expert_func=None)
 
@@ -837,3 +838,55 @@ def test_normmlp_parity():
                    skips=(1,), norm_name="layernorm")
     got = ours.apply({"params": unflatten(flat)["nm"]}, jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_layer_top2_parity():
+    """Top-2 gating full-layer parity vs the reference (every published
+    config uses k=1; the flag surface allows k>1 — this pins the k=2
+    two-slot dispatch/combine + aux-loss semantics cross-framework, in
+    BOTH dispatch modes)."""
+    import torch
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+
+    m, e, k = 16, 4, 2
+    ref_mlp = _build_ref_moe("expertmlp", seed=41, top_k=k).eval()
+    sd = {f"layers.0.{kk}": v.clone()
+          for kk, v in ref_mlp.state_dict().items()}
+
+    def strip(kk):
+        for prefix in ("module.layers.0.", "layers.0."):
+            if kk.startswith(prefix):
+                return kk[len(prefix):]
+        return kk
+    sd_seq = convert_to_seqexperts({kk: v.clone() for kk, v in sd.items()})
+    ref_seq = _build_ref_moe("seqexperts", seed=42, top_k=k).eval()
+    ref_seq.load_state_dict({strip(kk): v for kk, v in sd_seq.items()})
+
+    # 96 samples over 4 experts: no expert is empty, avoiding the
+    # reference torch strategy's empty-expert dummy write into row 0
+    # (tutel_moe_layer_nobatch.py:399-403)
+    x = torch.tensor(np.random.default_rng(23).normal(
+        0, 1, (96, m)).astype(np.float32))
+    with torch.no_grad():
+        want = ref_seq(
+            x, gate_input=x,
+            apply_on_expert_fn_name="apply_on_expert_fn_nobatch_torch")
+    l_aux_want = float(want.l_aux)
+    want = want.numpy()
+
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.moe import MoELayer
+
+    params = unflatten(convert_nerf_moe_state_dict(
+        {kk: v.numpy() for kk, v in sd.items()}))["layer_0"]
+    for mode, cf in [("nodrop", 1.0), ("padded", 4.0)]:
+        ours = MoELayer(model_dim=m, num_experts=e, layer_num=2, skips=(1,),
+                        top_k=k, capacity_factor=cf,
+                        batch_prioritized_routing=True,
+                        train_dispatch=mode, eval_dispatch=mode)
+        y, l_aux, _ = ours.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4,
+                                   atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(float(l_aux), l_aux_want, rtol=1e-5)
