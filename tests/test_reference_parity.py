@@ -890,3 +890,56 @@ def test_moe_layer_top2_parity():
         np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4,
                                    atol=1e-5, err_msg=mode)
         np.testing.assert_allclose(float(l_aux), l_aux_want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("margin", [1.15, 1.0])
+def test_mega_nerf_parity(margin):
+    """MegaNeRF centroid blending vs the reference (mega_nerf.py:7-61):
+    boundary-margin-weighted soft blend (margin > 1) and hard argmin
+    assignment (margin == 1), through converted dense-NeRF submodules.
+    The reference boolean-masks points per cluster; ours evaluates every
+    submodule on all points and blends with the sparse weight matrix —
+    must be numerically identical."""
+    import torch
+    from switch_nerf.models.mega_nerf import MegaNeRF as RefMegaNeRF
+    from switch_nerf.models.nerf import NeRF as RefNeRF, ShiftedSoftplus
+
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_dense_nerf_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.mega_nerf import MegaNeRF
+    from switch_nerf_tpu.models.nerf import NeRF
+
+    torch.manual_seed(51)
+    n_sub = 3
+    ref_subs = [RefNeRF(pos_xyz_dim=2, pos_dir_dim=1, layers=2,
+                        skip_layers=[], layer_dim=8, appearance_dim=2,
+                        affine_appearance=False, appearance_count=3,
+                        rgb_dim=3, xyz_dim=3,
+                        sigma_activation=ShiftedSoftplus()).eval()
+                for _ in range(n_sub)]
+    cents = torch.tensor([[0.0, 0.0, 0.0], [0.6, 0.0, 0.0],
+                          [0.0, 0.7, 0.0]])
+    ref = RefMegaNeRF(ref_subs, cents, boundary_margin=margin,
+                      xyz_real=False, cluster_2d=False).eval()
+
+    rng = np.random.default_rng(29)
+    n = 40
+    x_np = np.concatenate([
+        rng.normal(0, 0.6, (n, 6)).astype(np.float32),
+        rng.integers(0, 3, (n, 1)).astype(np.float32)], -1)
+    with torch.no_grad():
+        want = ref(torch.tensor(x_np)).numpy()
+
+    subs = [NeRF(pos_xyz_dim=2, pos_dir_dim=1, layers=2, skip_layers=(),
+                 layer_dim=8, appearance_dim=2, appearance_count=3)
+            for _ in range(n_sub)]
+    ours = MegaNeRF(sub_modules=subs,
+                    centroids=tuple(map(tuple, cents.numpy().tolist())),
+                    boundary_margin=margin)
+    params = {
+        f"sub_modules_{i}": unflatten(convert_dense_nerf_state_dict(
+            {k: v.detach().numpy() for k, v in sub.state_dict().items()}))
+        for i, sub in enumerate(ref_subs)}
+    got = ours.apply({"params": params}, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
