@@ -43,6 +43,13 @@ def install_stubs():
                 raise RuntimeError(f"tutel stub {name} must not be called")
             return _missing
 
+    # lpips package (pretrained backbones, not installable offline):
+    # switch_nerf.metrics imports it at module scope; only metrics.lpips
+    # touches it, which parity tests never call
+    class _LPIPSUnavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError("lpips stub must not be instantiated")
+    mod("lpips", LPIPS=_LPIPSUnavailable)
     mod("timm")
     mod("timm.models")
     mod("timm.models.layers",

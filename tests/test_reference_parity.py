@@ -943,3 +943,32 @@ def test_mega_nerf_parity(margin):
         for i, sub in enumerate(ref_subs)}
     got = ours.apply({"params": params}, jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_metrics_parity():
+    """psnr/ssim (+ masked variants) vs the reference's own torch
+    implementations (metrics.py:8-10, 51-121, 124-129, 131-208 — the
+    tf.image.ssim-modeled separable-Gaussian SSIM): the eval-table
+    numbers must come from identical formulas."""
+    import torch
+    from switch_nerf import metrics as ref_metrics
+
+    from switch_nerf_tpu import metrics as M
+
+    rng = np.random.default_rng(61)
+    img0 = rng.uniform(0, 1, (24, 17, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 0.1, img0.shape), 0,
+                   1).astype(np.float32)
+    mask = rng.uniform(size=(24, 17)) > 0.3
+
+    t0, t1 = torch.tensor(img0), torch.tensor(img1)
+    tm = torch.tensor(mask)
+    np.testing.assert_allclose(float(M.psnr(img0, img1)),
+                               ref_metrics.psnr(t0, t1), rtol=1e-5)
+    np.testing.assert_allclose(float(M.ssim(img0, img1, 1.0)),
+                               ref_metrics.ssim(t0, t1, 1.0), rtol=1e-5)
+    np.testing.assert_allclose(float(M.psnr_mask(img0, img1, mask)),
+                               ref_metrics.psnr_mask(t0, t1, tm), rtol=1e-5)
+    np.testing.assert_allclose(float(M.ssim_mask(img0, img1, 1.0, mask)),
+                               ref_metrics.ssim_mask(t0, t1, 1.0, tm),
+                               rtol=1e-5)
