@@ -972,3 +972,40 @@ def test_metrics_parity():
     np.testing.assert_allclose(float(M.ssim_mask(img0, img1, 1.0, mask)),
                                ref_metrics.ssim_mask(t0, t1, 1.0, tm),
                                rtol=1e-5)
+
+
+def test_ray_utils_parity():
+    """Ray generation vs the reference (ray_utils.py:6-85): center-pixel
+    directions, world rotation, and the altitude-plane near/far truncation
+    (drb convention, +x down) — the geometry every training ray passes
+    through."""
+    import torch
+    from switch_nerf.ray_utils import (get_ray_directions as ref_dirs,
+                                       get_rays as ref_get_rays)
+
+    from switch_nerf_tpu.datasets import ray_utils as R
+
+    w, h, fx, fy, cx, cy = 9, 7, 11.0, 10.0, 4.2, 3.6
+    for center in (True, False):
+        want = ref_dirs(w, h, fx, fy, cx, cy, center,
+                        torch.device("cpu")).numpy()
+        got = R.get_ray_directions(w, h, fx, fy, cx, cy, center)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    # a drb camera pose high above the scene looking straight down
+    # (camera -z -> world +x = down), so the altitude planes truncate
+    rot = np.array([[0.0, 0.0, -1.0],
+                    [0.0, 1.0, 0.0],
+                    [1.0, 0.0, 0.0]], np.float32)
+    c2w = np.concatenate(
+        [rot, np.array([[-80.0], [2.0], [3.0]], np.float32)], axis=1)
+    dirs = R.get_ray_directions(w, h, fx, fy, cx, cy, True)
+    for alt_range in (None, [-60.0, -20.0]):
+        want = ref_get_rays(torch.tensor(dirs), torch.tensor(c2w),
+                            0.5, 200.0, alt_range).numpy()
+        got = R.get_rays(dirs, c2w, 0.5, 200.0, alt_range)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        if alt_range is not None:
+            # the truncation actually engaged for some rays
+            assert (want[..., 6] > 0.5 + 1e-4).any() or \
+                   (want[..., 7] < 200.0 - 1e-4).any()

@@ -203,12 +203,12 @@ def test_remat_save_names_invariant(monkeypatch):
 
     w = jnp.asarray(np.random.RandomState(6).randn(27, 4).astype(np.float32))
     grads = {}
-    for name, env, remat in [("default", "", True),
-                             ("pe_out", "pe_out", True),
+    for name, env, remat in [("default", "", True),     # saves pe_out
+                             ("no_pe", "-pe_out", True),
                              ("no_remat", "", False)]:
         monkeypatch.setenv("SWITCH_NERF_REMAT_SAVE", env)
         cfg = RenderConfig(model_chunk_size=16, remat_chunks=remat)
         grads[name] = np.asarray(jax.grad(loss)(w, cfg))
-    np.testing.assert_array_equal(grads["default"], grads["pe_out"])
+    np.testing.assert_array_equal(grads["default"], grads["no_pe"])
     np.testing.assert_allclose(grads["default"], grads["no_remat"],
                                rtol=1e-6, atol=1e-7)
