@@ -65,20 +65,18 @@ def convert_nerf_moe_state_dict(sd) -> dict:
             out["affine/kernel"] = take(key).T
         elif key == "affine.bias":
             out["affine/bias"] = take(key)
-        elif ".fcs." in key and key.startswith("layers."):
-            tag = key.split(".")[1]
-            map_mlp(sd, f"layers.{tag}", out, f"layer_{tag}")
-            for k2 in list(sd):
-                if k2.startswith(f"layers.{tag}.fcs.") or \
-                        k2.startswith(f"layers.{tag}.norms."):
-                    done.add(k2)
-        elif ".gates." in key and key.endswith("wg.weight"):
-            tag = key.split(".")[1]
-            out[f"layer_{tag}/wg/kernel"] = take(key).T
         elif ".residual_expert." in key:
             # DeepSpeed-style residual MoE (tutel_moe_layer_nobatch.py:
-            # 666-672, 778-788): a 1-expert ExpertMLP stack
+            # 666-672, 778-788): a 1-expert ExpertMLP stack. The reference
+            # can also build seqexperts/ffn residuals (:641-652) with
+            # different key layouts — fail loudly rather than mis-map.
             parts = key.split(".")      # layers t residual_expert weights j
+            if len(parts) != 5 or parts[3] not in ("weights", "bias") \
+                    or not parts[4].isdigit():
+                raise ValueError(
+                    f"unsupported residual_expert checkpoint layout at "
+                    f"{key!r}: only the 'expertmlp' residual "
+                    f"(residual_expert.weights.<j>/bias.<j>) converts")
             tag, kind, j = parts[1], parts[3], parts[4]
             name = "w" if kind == "weights" else "b"
             out[f"layer_{tag}/residual_expert/{name}{j}"] = take(key)
@@ -89,8 +87,25 @@ def convert_nerf_moe_state_dict(sd) -> dict:
                 out[f"layer_{tag}/coefficient/kernel"] = take(key).T
             else:
                 out[f"layer_{tag}/coefficient/bias"] = take(key)
+        elif ".fcs." in key and key.startswith("layers."):
+            tag = key.split(".")[1]
+            map_mlp(sd, f"layers.{tag}", out, f"layer_{tag}")
+            for k2 in list(sd):
+                if k2.startswith(f"layers.{tag}.fcs.") or \
+                        k2.startswith(f"layers.{tag}.norms."):
+                    done.add(k2)
+        elif ".gates." in key and key.endswith("wg.weight"):
+            tag = key.split(".")[1]
+            out[f"layer_{tag}/wg/kernel"] = take(key).T
         elif ".experts." in key:
             parts = key.split(".")            # layers t experts 0 weights j
+            if len(parts) != 6 or parts[4] not in ("weights", "bias") \
+                    or not parts[5].isdigit():
+                raise ValueError(
+                    f"unsupported expert checkpoint layout at {key!r}: "
+                    f"only the training-format 'expertmlp' stacks "
+                    f"(experts.0.weights.<j>/bias.<j>) convert — migrate "
+                    f"seqexperts/ffn checkpoints to expertmlp first")
             tag, kind, j = parts[1], parts[4], parts[5]
             name = "w" if kind == "weights" else "b"
             out[f"layer_{tag}/experts/{name}{j}"] = take(key)

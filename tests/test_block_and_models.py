@@ -236,3 +236,29 @@ def test_llff_loader(tmp_path):
     assert ds.near == 0.0 and ds.far == 1.0      # NDC bounds
     assert len(ds.i_test) == 2                    # llffhold=3 over 6 images
     assert ds.rays_train.shape[0] == (n - 2) * h * w
+
+
+def test_converter_rejects_unknown_expert_layouts():
+    """convert_nerf_moe_state_dict only understands the training-format
+    'expertmlp' stacks; seqexperts/ffn layouts (reference
+    tutel_moe_layer_nobatch.py:641-652) must fail loudly, not mis-map."""
+    import numpy as np
+    import pytest
+    from scripts.convert_torch_ckpt import convert_nerf_moe_state_dict
+
+    with pytest.raises(ValueError, match="residual_expert"):
+        convert_nerf_moe_state_dict(
+            {"layers.0.residual_expert.experts.0.fcs.0.weight":
+             np.zeros((4, 4), np.float32)})
+    with pytest.raises(ValueError, match="expertmlp"):
+        convert_nerf_moe_state_dict(
+            {"layers.0.experts.0.experts.1.layers.0.weight":
+             np.zeros((4, 4), np.float32)})
+    # the supported layouts still convert
+    out = convert_nerf_moe_state_dict({
+        "layers.0.experts.0.weights.0": np.zeros((2, 4, 4), np.float32),
+        "layers.0.residual_expert.weights.0":
+            np.zeros((1, 4, 4), np.float32),
+        "layers.0.coefficient.weight": np.zeros((2, 4), np.float32)})
+    assert set(out) == {"layer_0/experts/w0", "layer_0/residual_expert/w0",
+                        "layer_0/coefficient/kernel"}

@@ -177,7 +177,10 @@ def _convert(model, net):
     #                                    from floor and must match torch
 ])
 def test_lpips_numerics_vs_torch(net, size):
-    model = _make_lpips_model(net, seed=hash(net) % 1000 + size)
+    # fixed per-net constants, NOT hash(net): str hashing is salted per
+    # interpreter, which would make any failure irreproducible
+    model = _make_lpips_model(
+        net, seed={"vgg": 0, "alex": 1, "squeeze": 2}[net] * 1000 + size)
     w = _convert(model, net)
     L.validate_net_weights(net, w, source="torch-oracle test")
 
