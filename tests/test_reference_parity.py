@@ -1009,3 +1009,26 @@ def test_ray_utils_parity():
             # the truncation actually engaged for some rays
             assert (want[..., 6] > 0.5 + 1e-4).any() or \
                    (want[..., 7] < 200.0 - 1e-4).any()
+
+
+def test_eval_sh_parity():
+    """eval_sh vs the reference's PlenOctree SH polynomials
+    (spherical_harmonics.py:55-107), all supported degrees 0..4."""
+    import torch
+    from switch_nerf.spherical_harmonics import eval_sh as ref_eval_sh
+
+    import jax.numpy as jnp
+    from switch_nerf_tpu.ops import eval_sh
+
+    rng = np.random.default_rng(71)
+    dirs = rng.normal(size=(25, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for deg in range(5):
+        c = (deg + 1) ** 2
+        sh = rng.normal(size=(25, 3, c)).astype(np.float32)
+        with torch.no_grad():
+            want = ref_eval_sh(deg, torch.tensor(sh),
+                               torch.tensor(dirs)).numpy()
+        got = eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-6, err_msg=f"deg {deg}")
