@@ -66,6 +66,13 @@ class RenderConfig:
     return_sigma: bool = False                 # raw sigma (coarse)
     return_alpha: bool = False
     remat_chunks: bool = True
+    # save the PE/IPE encodings across the remat boundary. Measured on
+    # v5e: +2.7% on Building (freq-PE, width-256: 11,586 -> 11,894 rays/s)
+    # but -0.9% on Mission Bay (IPE, width-512: 5,014 -> 4,971) — the wider
+    # mip encodings cost more HBM than their recompute, so the
+    # hparams-derived default is (not use_mip). SWITCH_NERF_REMAT_SAVE
+    # still overrides either way for A/B runs.
+    remat_save_pe: bool = True
     # assemble [chunk, D] point blocks inside the scan body instead of
     # materialising the global [N*S, D] concat buffer — measured +1.6%
     # step throughput on v5e (11,438 -> 11,625 rays/s, Building bg-on
@@ -112,11 +119,9 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         # boundary: the backward then reuses them instead of re-running the
         # routing sorts and dispatch gathers (~67 MB/chunk bf16 + few MB
         # int32 — cheap next to the recompute)
-        # "pe_out" (the PE/IPE sines) is saved by default: measured +2.9%
-        # step throughput on v5e (Building bg-on b1024: 11,586 -> 11,885/
-        # 11,953 rays/s across repeated A/B pairs) — the [chunk, 63]
-        # encodings are small next to the recompute they avoid
-        names = {"moe_plan", "moe_dispatched", "pe_out"}
+        names = {"moe_plan", "moe_dispatched"}
+        if cfg.remat_save_pe:
+            names.add("pe_out")
         # experiment hook: comma-separated names to add (or remove with a
         # leading '-'), e.g. SWITCH_NERF_REMAT_SAVE=-pe_out for A/B runs
         for n in os.environ.get("SWITCH_NERF_REMAT_SAVE", "").split(","):
