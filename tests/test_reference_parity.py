@@ -1032,3 +1032,104 @@ def test_eval_sh_parity():
         got = eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                    atol=1e-6, err_msg=f"deg {deg}")
+
+
+def _make_llff_scene(tmp_path):
+    from PIL import Image as PILImage
+    rng = np.random.default_rng(0)
+    n, h, w = 6, 12, 16
+    (tmp_path / "images").mkdir()
+    for i in range(n):
+        PILImage.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                           ).save(tmp_path / "images" / f"img{i:03d}.png")
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        th = i * 0.1
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        poses[i, :, :3] = rot
+        poses[i, :, 3] = [0.1 * i, 0, 0.05 * i]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 1.0), np.full(n, 10.0)],
+                   -1).astype(np.float32)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([poses.reshape(n, 15), bds], -1))
+
+
+@pytest.mark.parametrize("spherify", [False, True])
+def test_llff_loader_parity(tmp_path, monkeypatch, spherify):
+    """load_llff_data vs the reference's LLFF loader (load_llff.py — the
+    canonical bmild pose math the reference vendored): images, recentered
+    poses, bounds, spiral/spherified render path, and the holdout index
+    must be identical. (The reference's `ignoregamma` imageio kwarg
+    predates imageio v3; shimmed to the modern API for the comparison.)"""
+    import types
+    import imageio.v2 as iio2
+    from switch_nerf.datasets.nerf_data import load_llff as ref_mod
+
+    from switch_nerf_tpu.datasets.nerf_data.load_llff import load_llff_data
+
+    _make_llff_scene(tmp_path)
+    monkeypatch.setattr(
+        ref_mod, "imageio",
+        types.SimpleNamespace(imread=lambda f, **k: iio2.imread(f)))
+    # reference factor=None reads images/ as-is (factor=1 would shell out
+    # to mogrify via _minify); ours reads images/ directly at factor=1
+    ref = ref_mod.load_llff_data(str(tmp_path), factor=None, recenter=True,
+                                 bd_factor=0.75, spherify=spherify)
+    ours = load_llff_data(str(tmp_path), factor=1, recenter=True,
+                          bd_factor=0.75, spherify=spherify)
+    for name, a, b in zip(("images", "poses", "bds", "render_poses",
+                           "i_test"), ref, ours):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("half_res", [False, True])
+def test_blender_loader_parity(tmp_path, half_res):
+    """load_blender_data vs the reference (load_blender.py): RGBA decode,
+    pose_spherical render path, camera intrinsics, split concatenation,
+    and the cv2 INTER_AREA half_res resize."""
+    import json as _json
+    from PIL import Image as PILImage
+    from switch_nerf.datasets.nerf_data.load_blender import \
+        load_blender_data as ref_load
+
+    from switch_nerf_tpu.datasets.nerf_data.load_blender import \
+        load_blender_data
+
+    rng = np.random.default_rng(3)
+    h = w = 16
+    for split, count in (("train", 3), ("val", 2), ("test", 2)):
+        frames = []
+        for i in range(count):
+            name = f"r_{i}"
+            PILImage.fromarray(rng.integers(0, 255, (h, w, 4),
+                                            dtype=np.uint8)).save(
+                tmp_path / f"{name}.png")
+            th = 0.3 * i + (0 if split == "train" else 1)
+            c2w = np.eye(4, dtype=np.float64)
+            c2w[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                                    [-np.sin(th), 0, np.cos(th)]])
+            c2w[:3, 3] = [0.2 * i, 0.1, 2.0]
+            frames.append({"file_path": f"./{name}",
+                           "transform_matrix": c2w.tolist()})
+        (tmp_path / f"transforms_{split}.json").write_text(_json.dumps(
+            {"camera_angle_x": 0.8, "frames": frames}))
+        # blender layout keeps split images in subdirs named by file_path;
+        # the flat ./r_i path above reuses tmp_path for all splits, so give
+        # each split distinct frames by copying is unnecessary — the loader
+        # only follows file_path.
+
+    ref_imgs, ref_poses, ref_render, ref_hwf, ref_splits = ref_load(
+        str(tmp_path), half_res=half_res, testskip=1)
+    our_imgs, our_poses, our_render, our_hwf, our_splits = load_blender_data(
+        str(tmp_path), half_res=half_res, testskip=1)
+    np.testing.assert_allclose(our_imgs, ref_imgs, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(our_poses, ref_poses, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(our_render, np.asarray(ref_render),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(our_hwf, ref_hwf, rtol=1e-6)
+    for a, b in zip(our_splits, ref_splits):
+        np.testing.assert_array_equal(a, b)
