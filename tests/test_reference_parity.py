@@ -1208,3 +1208,36 @@ def test_bungee_loader_parity(tmp_path, ray_nearfar):
                                rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_radii), want_radii.numpy(),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_classic_ray_utils_parity():
+    """Classic-NeRF get_rays + ndc_rays vs the reference
+    (nerf_data/ray_utils.py:14-47): the bmild pinhole/NDC math every
+    llff/blender ray passes through."""
+    import torch
+    from switch_nerf.datasets.nerf_data.ray_utils import (
+        get_rays as ref_get_rays, ndc_rays as ref_ndc_rays)
+
+    from switch_nerf_tpu.datasets.nerf_data.ray_utils import (get_rays,
+                                                              ndc_rays)
+
+    h, w, focal = 10, 14, 22.0
+    k = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                 np.float32)
+    th = 0.4
+    c2w = np.array([[np.cos(th), 0, np.sin(th), 0.3],
+                    [0, 1, 0, -0.2],
+                    [-np.sin(th), 0, np.cos(th), 1.5]], np.float32)
+    want_o, want_d = ref_get_rays(h, w, torch.tensor(k), torch.tensor(c2w))
+    got_o, got_d = get_rays(h, w, k, c2w)
+    np.testing.assert_allclose(got_o, want_o.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_d, want_d.numpy(), rtol=1e-6, atol=1e-7)
+
+    want_no, want_nd = ref_ndc_rays(h, w, focal, 1.0, want_o.reshape(-1, 3),
+                                    want_d.reshape(-1, 3))
+    got_no, got_nd = ndc_rays(h, w, focal, 1.0,
+                              got_o.reshape(-1, 3), got_d.reshape(-1, 3))
+    np.testing.assert_allclose(got_no, want_no.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(got_nd, want_nd.numpy(), rtol=1e-5,
+                               atol=1e-6)
