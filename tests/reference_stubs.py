@@ -43,6 +43,14 @@ def install_stubs():
                 raise RuntimeError(f"tutel stub {name} must not be called")
             return _missing
 
+    # torch._six was removed from modern torch; utils/functions.py only
+    # wants string_classes for its vendored collate
+    mod("torch._six", string_classes=(str, bytes))
+    # torchvision (absent from this image) is imported at module scope by
+    # utils/functions.py for a transform never used in the parity paths
+    mod("torchvision")
+    mod("torchvision.transforms", ToTensor=object, Compose=object,
+        Normalize=object, Resize=object)
     # lpips package (pretrained backbones, not installable offline):
     # switch_nerf.metrics imports it at module scope; only metrics.lpips
     # touches it, which parity tests never call

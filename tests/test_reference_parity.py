@@ -1241,3 +1241,39 @@ def test_classic_ray_utils_parity():
                                atol=1e-6)
     np.testing.assert_allclose(got_nd, want_nd.numpy(), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_meters_and_palette_parity():
+    """DictAverageMeter semantics (utils/functions.py:52-90) and the VOC
+    expert-segmentation palette (:299-305): our single per-key-count meter
+    must reproduce BOTH reference meters — the uniform-keys one and the
+    asymmetric-keys one — and our algorithmic 256-entry palette must
+    extend the reference's hardcoded 21 rows exactly."""
+    from switch_nerf.utils.functions import (DictAverageMeter as RefMeter,
+                                             DictAverageMeter1 as RefMeter1,
+                                             voc_palette as ref_palette)
+
+    from switch_nerf_tpu.utils.meters import DictAverageMeter
+    from switch_nerf_tpu.utils.visualize import voc_palette
+
+    np.testing.assert_array_equal(np.asarray(voc_palette())[:21],
+                                  np.asarray(ref_palette()))
+
+    # uniform key sets: matches the count-shared reference meter
+    seq = [{"psnr": 21.0, "ssim": 0.5}, {"psnr": 25.0, "ssim": 0.7},
+           {"psnr": 23.0, "ssim": 0.9}]
+    ref, ours = RefMeter(), DictAverageMeter()
+    for d in seq:
+        ref.update(d)
+        ours.update(d)
+    for k, v in ref.mean().items():
+        assert ours.mean()[k] == pytest.approx(v)
+
+    # asymmetric key sets: matches the per-key-count reference meter
+    seq1 = [{"psnr": 20.0}, {"psnr": 30.0, "lpips": 0.2}, {"lpips": 0.4}]
+    ref1, ours1 = RefMeter1(), DictAverageMeter()
+    for d in seq1:
+        ref1.update(d)
+        ours1.update(d)
+    for k, v in ref1.mean().items():
+        assert ours1.mean()[k] == pytest.approx(v)
