@@ -1,8 +1,13 @@
 """LINEMOD scene loader (6-DoF pose estimation scenes adapted for NeRF).
 
-Parity target: switch_nerf/datasets/nerf_data/load_LINEMOD.py —
-transforms_{split}.json with per-frame near/far + camera_angle_x, intrinsic
-K, optional half-res downsampling.
+Parity target: switch_nerf/datasets/nerf_data/load_LINEMOD.py:37-95 —
+transforms_{split}.json frames carry absolute file_path + intrinsic_matrix
+(focal = K[0][0]; there is NO camera_angle_x in this format), per-split
+near/far combined as floor(min)/ceil(max) across train+test, a 40-view
+pose_spherical render ring, and half_res downsampling via INTER_AREA that
+(like the reference) drops to 3 channels and does NOT rescale K — parity
+quirks kept so downstream behavior is identical.
+Pinned by tests/test_reference_parity.py::test_linemod_loader_parity.
 """
 from __future__ import annotations
 
@@ -11,6 +16,8 @@ import os
 
 import numpy as np
 from PIL import Image
+
+from switch_nerf_tpu.datasets.nerf_data.load_blender import pose_spherical
 
 
 def load_LINEMOD_data(basedir, half_res=False, testskip=1):
@@ -21,26 +28,20 @@ def load_LINEMOD_data(basedir, half_res=False, testskip=1):
             metas[s] = json.load(fp)
 
     all_imgs, all_poses, counts = [], [], [0]
-    # reference load_LINEMOD.py:91-92: bounds span BOTH splits, floored/
-    # ceiled (per-split raw values would clip geometry the reference keeps)
-    near = float(np.floor(min(metas["train"]["near"], metas["test"]["near"])))
-    far = float(np.ceil(max(metas["train"]["far"], metas["test"]["far"])))
-    k = None
+    meta = None
     for s in splits:
         meta = metas[s]
         skip = 1 if s == "train" or testskip == 0 else testskip
         imgs, poses = [], []
         for frame in meta["frames"][::skip]:
+            # reference reads file_path verbatim (absolute in the real
+            # dataset); joining tolerates relative paths too, since
+            # os.path.join(base, absolute) returns the absolute path
             fname = os.path.join(basedir, frame["file_path"])
-            imgs.append(np.asarray(Image.open(fname).convert("RGBA"),
-                                   np.float32) / 255.0)
-            poses.append(np.array(frame["transform_matrix"], np.float32))
-        km = meta["frames"][0].get("intrinsic_matrix") \
-            if meta.get("frames") else None
-        if km is not None:
-            k = np.array(km, np.float32)
-        all_imgs.append(np.stack(imgs))
-        all_poses.append(np.stack(poses))
+            imgs.append(np.asarray(Image.open(fname)))
+            poses.append(np.array(frame["transform_matrix"]))
+        all_imgs.append((np.array(imgs) / 255.0).astype(np.float32))
+        all_poses.append(np.array(poses).astype(np.float32))
         counts.append(counts[-1] + len(imgs))
 
     i_split = [np.arange(counts[i], counts[i + 1]) for i in range(3)]
@@ -48,26 +49,26 @@ def load_LINEMOD_data(basedir, half_res=False, testskip=1):
     poses = np.concatenate(all_poses, 0)
 
     h, w = imgs[0].shape[:2]
-    camera_angle_x = float(metas["train"]["camera_angle_x"])
-    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
-    if k is None:
-        k = np.array([[focal, 0, 0.5 * w],
-                      [0, focal, 0.5 * h],
-                      [0, 0, 1]], np.float32)
+    # reference :74-75: focal/K read from the LAST split's first frame
+    focal = float(meta["frames"][0]["intrinsic_matrix"][0][0])
+    k = meta["frames"][0]["intrinsic_matrix"]
 
-    render_poses = poses[i_split[2]]
+    render_poses = np.stack(
+        [pose_spherical(angle, -30.0, 4.0)
+         for angle in np.linspace(-180, 180, 40 + 1)[:-1]], 0)
 
     if half_res:
+        import cv2
         h, w = h // 2, w // 2
         focal = focal / 2.0
-        k = k.copy()
-        k[:2, :] = k[:2, :] / 2.0
-        imgs_half = np.zeros((imgs.shape[0], h, w, 4), np.float32)
+        # reference :83-88: the resize buffer is 3-channel (alpha dropped)
+        # and K is left unscaled — both kept for exact parity
+        imgs_half = np.zeros((imgs.shape[0], h, w, 3))
         for i, img in enumerate(imgs):
-            pil = Image.fromarray((img * 255).astype(np.uint8))
-            imgs_half[i] = np.asarray(pil.resize((w, h), Image.LANCZOS),
-                                      np.float32) / 255.0
+            imgs_half[i] = cv2.resize(img, (w, h),
+                                      interpolation=cv2.INTER_AREA)
         imgs = imgs_half
 
-    return imgs, poses, render_poses, [h, w, focal], np.asarray(k), \
-        i_split, near, far
+    near = np.floor(min(metas["train"]["near"], metas["test"]["near"]))
+    far = np.ceil(max(metas["train"]["far"], metas["test"]["far"]))
+    return imgs, poses, render_poses, [h, w, focal], k, i_split, near, far

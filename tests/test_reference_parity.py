@@ -1277,3 +1277,58 @@ def test_meters_and_palette_parity():
         ours1.update(d)
     for k, v in ref1.mean().items():
         assert ours1.mean()[k] == pytest.approx(v)
+
+
+@pytest.mark.parametrize("half_res,channels", [
+    (False, 4),   # the real dataset format ("keep all 4 channels (RGBA)")
+    (False, 3),
+    (True, 3),    # the reference's half_res buffer is hardcoded 3-channel
+    #               (load_LINEMOD.py:85-87) and CRASHES on RGBA input — an
+    #               upstream bug, so half_res is only parity-testable on RGB
+])
+def test_linemod_loader_parity(tmp_path, half_res, channels):
+    """LINEMOD loader vs the reference (load_LINEMOD.py): RGBA frames,
+    absolute file_path convention, focal/K from intrinsic_matrix (there is
+    no camera_angle_x in this format), pose_spherical render ring,
+    floor/ceil cross-split near/far bounds, and the half_res resize."""
+    import json as _json
+    from PIL import Image as PILImage
+    from switch_nerf.datasets.nerf_data.load_LINEMOD import \
+        load_LINEMOD_data as ref_load
+
+    from switch_nerf_tpu.datasets.nerf_data.load_LINEMOD import \
+        load_LINEMOD_data
+
+    rng = np.random.default_rng(9)
+    h = w = 16
+    kmat = [[24.0, 0.0, 8.0], [0.0, 24.0, 8.0], [0.0, 0.0, 1.0]]
+    for si, (split, count) in enumerate(
+            (("train", 3), ("val", 2), ("test", 2))):
+        frames = []
+        for i in range(count):
+            p = tmp_path / f"{split}_{i}.png"
+            PILImage.fromarray(rng.integers(0, 255, (h, w, channels),
+                                            dtype=np.uint8)).save(p)
+            th = 0.25 * i + si
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                                    [-np.sin(th), 0, np.cos(th)]])
+            c2w[:3, 3] = [0.1 * i, 0.2, 1.5]
+            frames.append({"file_path": str(p),   # absolute, like the real set
+                           "transform_matrix": c2w.tolist(),
+                           "intrinsic_matrix": kmat})
+        (tmp_path / f"transforms_{split}.json").write_text(_json.dumps(
+            {"frames": frames, "near": 0.4 + si, "far": 6.3 - si}))
+
+    ref = ref_load(str(tmp_path), half_res=half_res, testskip=1)
+    ours = load_LINEMOD_data(str(tmp_path), half_res=half_res, testskip=1)
+    names = ("imgs", "poses", "render_poses", "hwf", "K", "i_split",
+             "near", "far")
+    for name, a, b in zip(names, ref, ours):
+        if name == "i_split":
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=1e-5, atol=1e-6, err_msg=name)
