@@ -40,8 +40,15 @@ def load_dv_data(scene="cube", basedir="/data/deepvoxels", testskip=8):
         return full_intrinsic, grid_barycenter, scale, near_plane, \
             world2cam_poses
 
-    def dir_files(d):
-        return [os.path.join(d, f) for f in sorted(os.listdir(d))]
+    def dir_files(d, ext):
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(ext)]
+
+    # reference dir2poses (load_deepvoxels.py:65-75): DeepVoxels poses are
+    # OpenCV-convention; flip y/z into the OpenGL convention NeRF uses,
+    # and return [N, 3, 4]
+    transf = np.array([[1, 0, 0, 0], [0, -1, 0, 0],
+                       [0, 0, -1, 0], [0, 0, 0, 1.0]], np.float32)
 
     h = w = 512
     deepvoxels_base = os.path.join(basedir, "train", scene)
@@ -53,11 +60,12 @@ def load_dv_data(scene="cube", basedir="/data/deepvoxels", testskip=8):
     for split, skip in (("train", 1), ("validation", testskip),
                         ("test", testskip)):
         base = os.path.join(basedir, split, scene)
-        imgfiles = dir_files(os.path.join(base, "rgb"))[::skip]
-        posefiles = dir_files(os.path.join(base, "pose"))[::skip]
+        imgfiles = dir_files(os.path.join(base, "rgb"), "png")[::skip]
+        posefiles = dir_files(os.path.join(base, "pose"), "txt")[::skip]
         imgs = np.stack([np.asarray(Image.open(f).convert("RGB"),
                                     np.float32) / 255.0 for f in imgfiles])
         poses = np.stack([load_pose(f) for f in posefiles])
+        poses = (poses @ transf)[:, :3, :4]
         all_imgs.append(imgs)
         all_poses.append(poses.astype(np.float32))
         counts.append(counts[-1] + imgs.shape[0])

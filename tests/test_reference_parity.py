@@ -1332,3 +1332,50 @@ def test_linemod_loader_parity(tmp_path, half_res, channels):
             np.testing.assert_allclose(
                 np.asarray(a, np.float64), np.asarray(b, np.float64),
                 rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_deepvoxels_loader_parity(tmp_path):
+    """DeepVoxels loader vs the reference (load_deepvoxels.py): the
+    intrinsics.txt resolution rescale, the OpenCV->OpenGL pose-convention
+    flip (dir2poses' diag(1,-1,-1,1) — missing from our loader until this
+    test), testskip striding, and split concatenation order."""
+    from PIL import Image as PILImage
+    from switch_nerf.datasets.nerf_data.load_deepvoxels import \
+        load_dv_data as ref_load
+
+    from switch_nerf_tpu.datasets.nerf_data.load_deepvoxels import \
+        load_dv_data
+
+    rng = np.random.default_rng(11)
+    for split, count in (("train", 4), ("validation", 3), ("test", 5)):
+        base = tmp_path / split / "cube"
+        (base / "rgb").mkdir(parents=True)
+        (base / "pose").mkdir()
+        for i in range(count):
+            PILImage.fromarray(rng.integers(0, 255, (8, 8, 3),
+                                            dtype=np.uint8)).save(
+                base / "rgb" / f"{i:04d}.png")
+            th = 0.3 * i
+            pose = np.eye(4)
+            pose[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                                     [np.sin(th), np.cos(th), 0],
+                                     [0, 0, 1]])
+            pose[:3, 3] = [0.2 * i, -0.1, 1.0 + 0.05 * i]
+            (base / "pose" / f"{i:04d}.txt").write_text(
+                " ".join(str(v) for v in pose.reshape(-1)))
+        (base / "rgb" / "notes.jpg.bak").write_text("stray non-png")
+        (base / "pose" / "readme.md").write_text("stray non-txt")
+        (base / "intrinsics.txt").write_text(
+            "16.0 4.0 4.5 0.0\n0.0 0.0 0.0\n0.8\n1.0\n8 8\n0\n")
+
+    ref = ref_load(scene="cube", basedir=str(tmp_path), testskip=2)
+    ours = load_dv_data(scene="cube", basedir=str(tmp_path), testskip=2)
+    for name, a, b in zip(("imgs", "poses", "render_poses", "hwf",
+                           "i_split"), ref, ours):
+        if name == "i_split":
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=1e-5, atol=1e-6, err_msg=name)
