@@ -21,7 +21,7 @@ def visualize_scalars(scalar_tensor: np.ndarray) -> np.ndarray:
     # pose-normalized scenes, all depths < 1, would be the HIGH extreme)
     to_use = np.log(np.maximum(to_use, 0.0) + 1e-8)
     lo, hi = np.quantile(to_use, [0.05, 0.95])
-    scale = max(hi - lo, 1e-10)
+    scale = max(hi - lo, 1e-8)     # reference runner.py:3033 epsilon
     norm = np.clip((to_use - lo) / scale, 0.0, 1.0)
 
     try:

@@ -1379,3 +1379,29 @@ def test_deepvoxels_loader_parity(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(a, np.float64), np.asarray(b, np.float64),
                 rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_visualize_scalars_parity():
+    """Depth visualization vs the reference's exact pipeline
+    (runner.py:3013 caller log + :3025-3037 visualize_scalars: 5/95
+    torch.quantile normalize, inverted INFERNO cv2 colormap) — byte-exact
+    on a well-spread depth map."""
+    import cv2
+    import torch
+
+    from switch_nerf_tpu.utils.visualize import visualize_scalars
+
+    rng = np.random.default_rng(77)
+    depths = rng.uniform(0.05, 4.0, (24, 32)).astype(np.float32)
+
+    # the reference composition, verbatim
+    t = torch.log(torch.tensor(depths) + 1e-8)
+    flat = t.view(-1)
+    mi, ma = torch.quantile(flat, 0.05), torch.quantile(flat, 0.95)
+    norm = ((t - mi) / max(ma - mi, 1e-8)).clamp_(0, 1)
+    want = cv2.cvtColor(
+        cv2.applyColorMap(((1 - norm) * 255).byte().numpy(),
+                          cv2.COLORMAP_INFERNO), cv2.COLOR_BGR2RGB)
+
+    got = visualize_scalars(depths)
+    np.testing.assert_array_equal(got, want)   # byte-exact (measured 0)
