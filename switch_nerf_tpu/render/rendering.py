@@ -69,10 +69,11 @@ class RenderConfig:
     # save the PE/IPE encodings across the remat boundary. Measured on
     # v5e: +2.7% on Building (freq-PE, width-256: 11,586 -> 11,894 rays/s)
     # but -0.9% on Mission Bay (IPE, width-512: 5,014 -> 4,971) — the wider
-    # mip encodings cost more HBM than their recompute, so the
-    # hparams-derived default is (not use_mip). SWITCH_NERF_REMAT_SAVE
-    # still overrides either way for A/B runs.
-    remat_save_pe: bool = True
+    # mip encodings cost more HBM than their recompute. None (default)
+    # resolves to `not use_mip` at the point of use, so EVERY construction
+    # site gets the measured policy. SWITCH_NERF_REMAT_SAVE still
+    # overrides either way for A/B runs.
+    remat_save_pe: Optional[bool] = None
     # assemble [chunk, D] point blocks inside the scan body instead of
     # materialising the global [N*S, D] concat buffer — measured +1.6%
     # step throughput on v5e (11,438 -> 11,625 rays/s, Building bg-on
@@ -120,15 +121,18 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         # routing sorts and dispatch gathers (~67 MB/chunk bf16 + few MB
         # int32 — cheap next to the recompute)
         names = {"moe_plan", "moe_dispatched"}
-        if cfg.remat_save_pe:
+        save_pe = (not cfg.use_mip) if cfg.remat_save_pe is None \
+            else cfg.remat_save_pe
+        if save_pe:
             names.add("pe_out")
-        # experiment hook: comma-separated names to add (or remove with a
-        # leading '-'), e.g. SWITCH_NERF_REMAT_SAVE=-pe_out for A/B runs
+        # experiment hook: comma-separated names to add (optionally with a
+        # leading '+') or remove with a leading '-', e.g.
+        # SWITCH_NERF_REMAT_SAVE=-pe_out / +pe_out for A/B runs
         for n in os.environ.get("SWITCH_NERF_REMAT_SAVE", "").split(","):
             if n.startswith("-"):
                 names.discard(n[1:])
             elif n:
-                names.add(n)
+                names.add(n.lstrip("+"))
         policy = jax.checkpoint_policies.save_only_these_names(
             *sorted(names))
         one_chunk = jax.checkpoint(one_chunk, policy=policy)

@@ -108,9 +108,6 @@ def render_config_from_hparams(hparams, train_batch: bool = True) -> RenderConfi
         return_sigma=getattr(hparams, "return_sigma", False),
         return_alpha=getattr(hparams, "return_alpha", False),
         remat_chunks=getattr(hparams, "remat", True),
-        # measured per-workload (see RenderConfig.remat_save_pe): freq-PE
-        # models win by saving the encodings, mip/IPE models lose slightly
-        remat_save_pe=not hparams.use_mip,
     )
 
 

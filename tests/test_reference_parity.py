@@ -1285,12 +1285,18 @@ def test_meters_and_palette_parity():
     (True, 3),    # the reference's half_res buffer is hardcoded 3-channel
     #               (load_LINEMOD.py:85-87) and CRASHES on RGBA input — an
     #               upstream bug, so half_res is only parity-testable on RGB
+    (True, 4),    # -> documented-deviation case: ours works, ref raises
 ])
 def test_linemod_loader_parity(tmp_path, half_res, channels):
     """LINEMOD loader vs the reference (load_LINEMOD.py): RGBA frames,
     absolute file_path convention, focal/K from intrinsic_matrix (there is
     no camera_angle_x in this format), pose_spherical render ring,
-    floor/ceil cross-split near/far bounds, and the half_res resize."""
+    floor/ceil cross-split near/far bounds, and the half_res resize.
+
+    Two documented half_res deviations (both places the reference's own
+    half_res is broken): ours keeps the source channel count where the
+    reference crashes on RGBA, and ours rescales K with focal where the
+    reference leaves K stale (rays would target the wrong scene region)."""
     import json as _json
     from PIL import Image as PILImage
     from switch_nerf.datasets.nerf_data.load_LINEMOD import \
@@ -1320,14 +1326,29 @@ def test_linemod_loader_parity(tmp_path, half_res, channels):
         (tmp_path / f"transforms_{split}.json").write_text(_json.dumps(
             {"frames": frames, "near": 0.4 + si, "far": 6.3 - si}))
 
-    ref = ref_load(str(tmp_path), half_res=half_res, testskip=1)
     ours = load_LINEMOD_data(str(tmp_path), half_res=half_res, testskip=1)
+    if half_res and channels == 4:
+        # upstream bug: the reference crashes here; ours must not, and
+        # must keep all 4 channels through the resize
+        with pytest.raises(ValueError):
+            ref_load(str(tmp_path), half_res=True, testskip=1)
+        assert ours[0].shape[-1] == 4
+        assert np.isfinite(ours[0]).all()
+        return
+    ref = ref_load(str(tmp_path), half_res=half_res, testskip=1)
     names = ("imgs", "poses", "render_poses", "hwf", "K", "i_split",
              "near", "far")
     for name, a, b in zip(names, ref, ours):
         if name == "i_split":
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        elif name == "K" and half_res:
+            # documented deviation: ours rescales K with focal; the
+            # reference's stale K is the bug
+            np.testing.assert_allclose(np.asarray(b, np.float64)[:2],
+                                       np.asarray(a, np.float64)[:2] / 2.0)
+            np.testing.assert_allclose(np.asarray(b, np.float64)[2],
+                                       np.asarray(a, np.float64)[2])
         else:
             np.testing.assert_allclose(
                 np.asarray(a, np.float64), np.asarray(b, np.float64),
@@ -1556,7 +1577,9 @@ def test_graph_wiring_stress_parity():
     # orders can route such a token to the other expert (the same flip
     # happens between torch CPU and CUDA). Allow at most 2/49 such rows;
     # all other rows must match to fp32 tolerance.
-    row_ok = (np.abs(np.asarray(got) - want) <= 1e-4 + 1e-4 * np.abs(want)
+    # same predicate as the assert below, so a row either counts as a
+    # boundary flip or passes the strict check — no gap between thresholds
+    row_ok = (np.abs(np.asarray(got) - want) <= 1e-5 + 1e-4 * np.abs(want)
               ).all(axis=1)
     assert row_ok.sum() >= want.shape[0] - 2, \
         f"{(~row_ok).sum()} rows diverge (want <= 2 boundary flips)"
