@@ -1,16 +1,19 @@
 """Merge per-image per-expert point clouds into scene-level expert clouds.
 
-Parity target: switch_nerf/scripts/merge_points.py:8-105 — for each expert
-id, concatenate the matching PLYs across image directories with a random
-downsample ratio, write one merged PLY per expert (plus the all-points
-cloud).
+Parity target: switch_nerf/scripts/merge_points.py:8-105 — the published
+command surface (`--merge_all --image_num=N --model_type=switch -r=0.2`,
+README "Visualization"): select image ids, sample each image's PLY by
+`sample_ratio`, and write one merged PLY per expert
+(`{data_type}_pts_rgba_exp_{e}.ply`) when expert_num > 0, else the merged
+all-points cloud (`{data_type}_pts_rgba.ply`). Input layout matches
+eval_points: `<data_path>/<image_id>/{id:03d}_{typ}_pts_rgba_top_{k}_exp_
+{e}.ply` (model_type switch/nerf) or `..._exp_{e}.ply` (mega).
 
-Usage:
-    python scripts/merge_points.py --data_path <exp>/eval_points \
-        --merge_save_dir merged --down_scale 0.1 --moe_expert_num 8
+Extension over the reference: `--merge_save_dir` redirects the outputs
+(the reference writes into data_path); `--seed` makes the downsample
+reproducible (the reference's random.sample is unseeded).
 """
 import argparse
-import random
 from pathlib import Path
 
 import numpy as np
@@ -21,52 +24,111 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from switch_nerf_tpu.utils.ply import read_ply_points, write_ply_points  # noqa: E402
 
 
-def merge(data_path: Path, save_dir: Path, down_scale: float,
-          expert_num: int, typ: str = "coarse", seed: int = 0,
-          topk: int = 0):
-    """topk selects which gate slot's clouds to merge (reference
-    merge_points.py exposes --topk; top-1 gates only ever write slot 0)."""
-    rng = np.random.default_rng(seed)
-    save_dir.mkdir(parents=True, exist_ok=True)
-    image_dirs = sorted(p for p in data_path.iterdir() if p.is_dir())
+def _resolve_image_ids(data_path: Path, image_ids, merge_all: bool,
+                       image_num: int, model_type: str):
+    if merge_all:
+        if model_type == "nerf":
+            # reference :40-43: scan for NNN_*.ply and collect ids
+            ids = {p.name.split("_")[0] for p in data_path.glob("**/*.ply")
+                   if p.name.split("_")[0].isdigit()}
+            return sorted(ids, key=int)
+        return [str(i) for i in range(image_num)]
+    return list(image_ids or [])
 
-    patterns = {"all": f"*_{typ}_pts_rgba.ply"}
-    for e in range(expert_num):
-        patterns[f"exp_{e}"] = f"*_{typ}_pts_rgba_top_{topk}_exp_{e}.ply"
 
-    for name, pattern in patterns.items():
-        xyzs, rgbas = [], []
-        for d in image_dirs:
-            for ply in sorted(d.glob(pattern)):
-                xyz, rgba = read_ply_points(ply)
-                if down_scale < 1.0 and xyz.shape[0] > 0:
-                    keep = rng.random(xyz.shape[0]) < down_scale
-                    xyz, rgba = xyz[keep], rgba[keep]
-                xyzs.append(xyz)
-                rgbas.append(rgba)
-        if not xyzs:
+def _ply_name(image_id: str, typ: str, topk: int, expert_id, model_type):
+    if expert_id is None:
+        return f"{int(image_id):03d}_{typ}_pts_rgba.ply"
+    if model_type == "mega":
+        return f"{int(image_id):03d}_{typ}_pts_rgba_exp_{expert_id}.ply"
+    return (f"{int(image_id):03d}_{typ}_pts_rgba_top_{topk:01d}"
+            f"_exp_{expert_id}.ply")
+
+
+def _merge_one(data_path: Path, save_dir: Path, image_ids, typ, topk,
+               expert_id, model_type, sample_ratio, rng):
+    xyzs, rgbas = [], []
+    for image_id in image_ids:
+        ply = data_path / image_id / _ply_name(image_id, typ, topk,
+                                               expert_id, model_type)
+        xyz, rgba = read_ply_points(ply)
+        n = xyz.shape[0]
+        keep_n = int(n * sample_ratio)
+        if keep_n == 0:
             continue
-        xyz = np.concatenate(xyzs)
-        rgba = np.concatenate(rgbas)
-        out = save_dir / f"merged_{typ}_{name}.ply"
-        write_ply_points(out, xyz, rgba)
-        print(f"{out}: {xyz.shape[0]} points")
+        keep = rng.choice(n, size=keep_n, replace=False)  # ref random.sample
+        xyzs.append(xyz[keep])
+        rgbas.append(rgba[keep])
+    out_name = f"{typ}_pts_rgba.ply" if expert_id is None \
+        else f"{typ}_pts_rgba_exp_{expert_id}.ply"
+    out = save_dir / out_name
+    if not xyzs:
+        # every image's cloud sampled to zero points (tiny cloud × small
+        # ratio) — the reference crashes on the empty concatenate here;
+        # write an empty cloud instead so the merge completes
+        print(f"{out}: 0 points (all sampled away)")
+        write_ply_points(out, np.zeros((0, 3), np.float32),
+                         np.zeros((0, 4), np.uint8))
+        return
+    xyz = np.concatenate(xyzs)
+    rgba = np.concatenate(rgbas)
+    write_ply_points(out, xyz, rgba)
+    print(f"{out}: {xyz.shape[0]} points")
+
+
+def merge(data_path: Path, save_dir=None, down_scale: float = 1.0,
+          expert_num: int = 8, typ: str = "coarse", seed: int = 0,
+          topk: int = 0, image_ids=None, merge_all: bool = True,
+          image_num: int = 0, model_type: str = "switch"):
+    """Reference merge semantics (see module docstring). `down_scale` is
+    the reference's `sample_ratio`; when `merge_all` and image_num == 0,
+    ids are discovered from the numeric image dirs."""
+    data_path = Path(data_path)
+    save_dir = data_path if save_dir is None else Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    if merge_all and image_num == 0 and model_type != "nerf":
+        image_num = sum(1 for p in data_path.iterdir()
+                        if p.is_dir() and p.name.isdigit())
+    ids = _resolve_image_ids(data_path, image_ids, merge_all, image_num,
+                             model_type)
+    rng = np.random.default_rng(seed)
+    if expert_num > 0:
+        for e in range(expert_num):
+            _merge_one(data_path, save_dir, ids, typ, topk, e, model_type,
+                       down_scale, rng)
+    else:
+        _merge_one(data_path, save_dir, ids, typ, topk, None, model_type,
+                   down_scale, rng)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_path", type=str, required=True,
                    help="eval_points output directory (per-image subdirs)")
-    p.add_argument("--merge_save_dir", type=str, required=True)
-    p.add_argument("--down_scale", type=float, default=1.0)
-    p.add_argument("--moe_expert_num", type=int, default=8)
-    p.add_argument("--typ", type=str, default="coarse")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image_ids", type=str, nargs="+", default=None)
+    p.add_argument("--merge_all", action="store_true", default=False)
+    p.add_argument("--image_num", type=int, default=0)
+    p.add_argument("--expert_num", "--moe_expert_num", dest="expert_num",
+                   type=int, default=8)
+    p.add_argument("--model_type", type=str, default="switch",
+                   choices=["switch", "mega", "nerf"])
+    p.add_argument("--data_type", "--typ", dest="data_type", type=str,
+                   default="coarse")
     p.add_argument("--topk", type=int, default=0,
                    help="gate slot to merge (reference --topk)")
+    p.add_argument("-r", "--sample_ratio", "--down_scale",
+                   dest="sample_ratio", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--merge_save_dir", type=str, default=None,
+                   help="output dir (default: data_path, like the "
+                        "reference)")
     args = p.parse_args()
-    merge(Path(args.data_path), Path(args.merge_save_dir), args.down_scale,
-          args.moe_expert_num, args.typ, args.seed, topk=args.topk)
+    merge(Path(args.data_path),
+          Path(args.merge_save_dir) if args.merge_save_dir else None,
+          args.sample_ratio, args.expert_num, args.data_type, args.seed,
+          topk=args.topk, image_ids=args.image_ids,
+          merge_all=args.merge_all or args.image_ids is None,
+          image_num=args.image_num, model_type=args.model_type)
 
 
 if __name__ == "__main__":

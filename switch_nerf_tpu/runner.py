@@ -165,6 +165,23 @@ class Runner:
                         Path(self.hparams.config_file).exists():
                     shutil.copy(self.hparams.config_file,
                                 self.experiment_path)
+                # git provenance like the reference (runner.py:124-138);
+                # best-effort — the install may not be a git checkout
+                try:
+                    import subprocess
+                    commit = subprocess.run(
+                        ["git", "rev-parse", "HEAD"], capture_output=True,
+                        text=True, timeout=10,
+                        cwd=Path(__file__).resolve().parent).stdout.strip()
+                    branch = subprocess.run(
+                        ["git", "rev-parse", "--abbrev-ref", "HEAD"],
+                        capture_output=True, text=True, timeout=10,
+                        cwd=Path(__file__).resolve().parent).stdout.strip()
+                    if commit:
+                        (self.experiment_path / "git_info.txt").write_text(
+                            f"commit: {commit}\nbranch: {branch}\n")
+                except Exception:
+                    pass
         else:
             self.experiment_path = None
             self.model_path = None
@@ -314,6 +331,13 @@ class Runner:
         train_paths.sort(key=lambda x: x.name)
         val_set = set(val_paths)
         image_indices = {p.name: i for i, p in enumerate(train_paths)}
+        if self.experiment_path is not None and jax.process_index() == 0:
+            # name -> index record like the reference's image_indices.txt
+            # (runner.py:1034-1052): lets eval outputs be traced back to
+            # source images
+            (self.experiment_path / "image_indices.txt").write_text(
+                "".join(f"{name} {i}\n"
+                        for name, i in image_indices.items()))
         train_items = [self._get_metadata_item(
             x, image_indices[x.name], h.train_scale_factor, x in val_set)
             for x in train_paths]

@@ -108,12 +108,16 @@ def test_eval_points_and_merge(tmp_path):
     # seg cloud exists (return_pts_class_seg)
     assert (all_ply.parent / "000_coarse_pts_seg.ply").exists()
 
-    # merge script
+    # merge script (reference CLI semantics: expert_num > 0 merges one
+    # PLY per expert named {typ}_pts_rgba_exp_{e}.ply; expert_num == 0
+    # merges the all-points cloud)
     from scripts.merge_points import merge
     merged_dir = tmp_path / "merged"
     merge(all_ply.parent.parent, merged_dir, down_scale=0.5,
           expert_num=4)
-    merged = list(merged_dir.glob("merged_coarse_*.ply"))
-    assert len(merged) == 5  # all + 4 experts
-    xm, _ = read_ply_points(merged_dir / "merged_coarse_all.ply")
+    merged = sorted(merged_dir.glob("coarse_pts_rgba_exp_*.ply"))
+    assert len(merged) == 4
+    merge(all_ply.parent.parent, merged_dir, down_scale=0.5,
+          expert_num=0)
+    xm, _ = read_ply_points(merged_dir / "coarse_pts_rgba.ply")
     assert 0 < xm.shape[0] <= xyz.shape[0]
