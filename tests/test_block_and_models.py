@@ -262,3 +262,37 @@ def test_converter_rejects_unknown_expert_layouts():
         "layers.0.coefficient.weight": np.zeros((2, 4), np.float32)})
     assert set(out) == {"layer_0/experts/w0", "layer_0/residual_expert/w0",
                         "layer_0/coefficient/kernel"}
+
+
+def test_gigapixel_loader(tmp_path):
+    """Gigapixel 2-D image loader (reference load_gigapixel.py — dead code
+    upstream, kept for surface parity): floor-sized bilinear downscale,
+    [0,1] float pixels, centered [-1,1] pixel-coordinate grid."""
+    from PIL import Image as PILImage
+    from switch_nerf_tpu.datasets.nerf_data.load_gigapixel import (
+        load_gigapixel_data)
+
+    rng = np.random.default_rng(3)
+    h, w = 11, 17
+    path = tmp_path / "big.png"
+    PILImage.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                       ).save(path)
+
+    img, coords = load_gigapixel_data(path)
+    assert img.shape == (h, w, 3) and img.dtype == np.float32
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert coords.shape == (h, w, 2)
+    # center-pixel convention: first/last coords symmetric about 0
+    np.testing.assert_allclose(coords[0, 0], [-1 + 1 / w, -1 + 1 / h],
+                               rtol=1e-6)
+    np.testing.assert_allclose(coords[-1, -1], [1 - 1 / w, 1 - 1 / h],
+                               rtol=1e-6)
+
+    # reference convention: scale<1 -> floor(scale*dim), bilinear
+    img2, coords2 = load_gigapixel_data(path, scale_factor=0.5)
+    assert img2.shape == (h // 2, w // 2, 3)   # floor(0.5*11)=5, floor(0.5*17)=8
+    assert coords2.shape == (h // 2, w // 2, 2)
+
+    # integer >1 divides
+    img3, _ = load_gigapixel_data(path, scale_factor=2)
+    assert img3.shape == (h // 2, w // 2, 3)

@@ -82,6 +82,8 @@ def test_cli_crash_record(tmp_path):
     env = dict(os.environ)
     env["SWITCH_NERF_ERROR_FILE"] = str(err_file)
     env.pop("JAX_PLATFORMS", None)
+    # CPU-only child: skip the axon tunnel dial (hangs during outages).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     code = (
         "import os\n"
         "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','')"

@@ -19,6 +19,9 @@ def _run_in_one_device_process(code: str) -> subprocess.CompletedProcess:
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("_GRAFT_DRYRUN_CHILD", None)
+    # CPU-only child: don't let the axon sitecustomize dial the TPU tunnel
+    # (it hangs at jax import when the tunnel is down — CLAUDE.md gotcha).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

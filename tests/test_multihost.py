@@ -37,6 +37,9 @@ def _clean_env() -> dict:
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
     env.pop("JAX_NUM_CPU_DEVICES", None)
+    # CPU-only children: don't let the axon sitecustomize dial the TPU
+    # tunnel (hangs at jax import when the tunnel is down — CLAUDE.md).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
 
 
