@@ -669,3 +669,160 @@ def test_training_trajectory_parity_grad_accum():
     assert rel.max() < 1e-2, f"late drift {rel.max():.2e}"
     assert np.median(rel) < 1e-3, f"median drift {np.median(rel):.2e}"
     assert want_l[-10:].mean() < 0.7 * want_l[:10].mean()
+
+
+def _torch_trajectory_bg(batches, n_steps):
+    """Reference training loop with the bg NeRF ON: MoE fg + dense bg
+    through the full fg/bg render_rays (sphere split, inverted-sphere bg,
+    composite), per-model Adam optimizers + per-step ExponentialLR exactly
+    like the reference's optimizers dict (runner.py:485-516, 681-693)."""
+    import torch
+    from torch.optim import Adam
+    from torch.optim.lr_scheduler import ExponentialLR
+    from switch_nerf.models.nerf import NeRF as RefNeRF, ShiftedSoftplus
+    from switch_nerf.rendering import render_rays as ref_render_rays
+
+    ref, sd = _build_ref_torch_model()
+    ref.train()
+    torch.manual_seed(31)
+    bg_t = RefNeRF(2, 1, 2, [1], 16, 4, False, 4, 3, 4, ShiftedSoftplus())
+    bg_sd = {k: v.clone() for k, v in bg_t.state_dict().items()}
+    bg_t.train()
+    hp = _ref_args(
+        "seqexperts", perturb=0.0, coarse_samples=8, fine_samples=8,
+        model_chunk_size=4096, use_cascade=False, white_bkgd=False,
+        use_random_background_color=False, use_sigma_noise=False,
+        sigma_noise_std=0.0, bg_use_moe=False, return_pts=False,
+        return_pts_rgb=False, return_pts_alpha=False, return_sigma=False,
+        return_alpha=False, container_path=None, train_mega_nerf=None,
+        use_balance_loss=True, moe_l_aux_wt=MOE_L_AUX_WT)
+    center = torch.zeros(3)
+    radius = torch.tensor([1.2, 1.1, 1.3])
+    gamma = TRAJ_DECAY ** (1.0 / n_steps)
+    opts = [Adam(ref.parameters(), lr=TRAJ_LR),
+            Adam(bg_t.parameters(), lr=TRAJ_LR)]
+    scheds = [ExponentialLR(o, gamma=gamma) for o in opts]
+
+    photo, all_loss, psnr = [], [], []
+    for batch in batches:
+        for o in opts:
+            o.zero_grad()
+        results, _ = ref_render_rays(
+            nerf=ref, bg_nerf=bg_t, rays=torch.tensor(batch["rays"]),
+            image_indices=torch.tensor(batch["image_indices"]), hparams=hp,
+            sphere_center=center, sphere_radius=radius,
+            get_depth=False, get_depth_variance=True, get_bg_fg_rgb=False)
+        tgt = torch.tensor(batch["rgbs"])
+        photo_t = torch.nn.functional.mse_loss(results["rgb_fine"], tgt)
+        gate_t = (results["gate_loss_fine"].mean()
+                  + results["gate_loss_coarse"].mean()) / 2.0
+        loss_t = photo_t + MOE_L_AUX_WT * gate_t
+        loss_t.backward()
+        for o, s in zip(opts, scheds):
+            o.step()
+            s.step()
+        photo.append(float(photo_t.detach()))
+        all_loss.append(float(loss_t.detach()))
+        psnr.append(float(-10.0 * np.log10(max(photo[-1], 1e-12))))
+    return ({"photo_loss": photo, "all_loss": all_loss, "psnr": psnr},
+            sd, bg_sd)
+
+
+def _jax_trajectory_bg(batches, n_steps, sd, bg_sd):
+    """Our production trainer with bg ON: one optax.adam over the joint
+    {nerf, bg_nerf} tree == the reference's two per-model Adams (Adam is
+    per-parameter and both share lr/schedule)."""
+    import jax
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_dense_nerf_state_dict,
+                                            convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.models.model_utils import get_nerf
+    from switch_nerf_tpu.models.nerf import NeRF
+    from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
+                                         make_train_step,
+                                         render_config_from_hparams)
+
+    h = parse_args(get_opts(), [
+        "--exp_name", "traj_bg", "--dataset_path", "unused",
+        "--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
+        "--batch_prioritized_routing", "--moe_expert_num", str(E),
+        "--pos_xyz_dim", "2", "--pos_dir_dim", "1",
+        "--appearance_dim", "4", "--no_amp", "--perturb", "0.0",
+        "--coarse_samples", "8", "--fine_samples", "8",
+        "--model_chunk_size", "4096", "--lr", str(TRAJ_LR),
+        "--lr_decay_factor", str(TRAJ_DECAY),
+        "--train_iterations", str(n_steps),
+        "--moe_l_aux_wt", str(MOE_L_AUX_WT),
+        "--model", json.dumps(GRAPH)])
+    assert not h.moe_train_batch
+
+    model = get_nerf(h, appearance_count=4)
+    bg = NeRF(pos_xyz_dim=2, pos_dir_dim=1, layers=2, skip_layers=(1,),
+              layer_dim=16, appearance_dim=4, appearance_count=4,
+              rgb_dim=3, xyz_dim=4)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg)
+    params = {
+        "nerf": unflatten(convert_nerf_moe_state_dict(
+            {k: v.numpy() for k, v in sd.items()})),
+        "bg_nerf": unflatten(convert_dense_nerf_state_dict(
+            {k: v.numpy() for k, v in bg_sd.items()})),
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = state.replace(params=params, opt_state=state.tx.init(params))
+
+    scene = SceneInfo(jnp.zeros((3,), jnp.float32),
+                      jnp.asarray([1.2, 1.1, 1.3], jnp.float32))
+    step_fn = jax.jit(make_train_step(
+        model, bg, h, render_config_from_hparams(h), scene))
+    photo, all_loss, psnr = [], [], []
+    for batch in batches:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, jb)
+        photo.append(float(metrics["photo_loss"]))
+        all_loss.append(float(metrics["all_loss"]))
+        psnr.append(float(metrics["psnr"]))
+    return {"photo_loss": photo, "all_loss": all_loss, "psnr": psnr}
+
+
+GOLDEN_BG = Path(__file__).parent / "data" / "trajectory_moe_bg.json"
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_bg():
+    """120 optimizer steps through the FULL fg/bg path (MoE fg + dense bg,
+    sphere split, inverted-sphere bg sampling, composite): the loss curves
+    must track the torch reference — this extends the fg-only trajectory
+    pin to every branch the Mega-NeRF training configs execute."""
+    n = 120
+    batches = _make_batches(TRAJ_STEPS)[:n]
+    want, sd, bg_sd = _torch_trajectory_bg(batches, n)
+    ours = _jax_trajectory_bg(batches, n, sd, bg_sd)
+
+    got_l = np.asarray(ours["all_loss"])
+    want_l = np.asarray(want["all_loss"])
+    rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
+    # measured (2026-08, torch 2.x CPU vs jax CPU): early 1.1e-4,
+    # median 8.5e-5, max 4.2e-4 over the 120 steps
+    assert rel[:25].max() < 1e-3, f"early drift {rel[:25].max():.2e}"
+    assert rel.max() < 5e-3, f"late drift {rel.max():.2e}"
+    assert np.median(rel) < 1e-3, f"median drift {np.median(rel):.2e}"
+    # both runs actually learn
+    assert want_l[-10:].mean() < 0.5 * want_l[:10].mean()
+    assert got_l[-10:].mean() < 0.5 * got_l[:10].mean()
+    print(f"bg trajectory drift: early {rel[:25].max():.2e} "
+          f"median {np.median(rel):.2e} max {rel.max():.2e}")
+    np.testing.assert_allclose(ours["psnr"][-1], want["psnr"][-1],
+                               rtol=2e-2)
+
+    if GOLDEN_BG.exists():
+        golden = json.loads(GOLDEN_BG.read_text())
+        np.testing.assert_allclose(want_l, golden["all_loss"], rtol=1e-4,
+                                   err_msg="torch reference drifted from "
+                                           "the checked-in golden")
+    else:
+        GOLDEN_BG.parent.mkdir(parents=True, exist_ok=True)
+        GOLDEN_BG.write_text(json.dumps(
+            {"config": {"steps": n, "lr": TRAJ_LR, "decay": TRAJ_DECAY,
+                        "l_aux_wt": MOE_L_AUX_WT}, **want}, indent=1))
