@@ -74,7 +74,44 @@ def analytic_model_flops_per_step(h, appearance_count: int = 8) -> float:
     return 3.0 * fwd                          # fwd + bwd(2x)
 
 
+def _wait_for_backend(total_wait_s: float = 3600,
+                      probe_timeout_s: float = 120) -> None:
+    """The axon TPU tunnel can be down for stretches (CLAUDE.md gotcha);
+    a backend probe in THIS process would hang uninterruptibly inside
+    PJRT init, so probe in killable subprocesses and only proceed once
+    one succeeds — turns a driver-visible hang into a bounded wait."""
+    import os
+    import subprocess
+    import sys
+    import time
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("", "axon"):
+        return          # CPU/other backends don't need the tunnel
+    total_wait_s = float(os.environ.get("SWITCH_NERF_BENCH_WAIT_S",
+                                        total_wait_s))
+    deadline = time.time() + total_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            raise RuntimeError(
+                "TPU backend unreachable (axon tunnel down?) after "
+                f"{total_wait_s:.0f}s of probing")
+        print(f"bench: TPU backend not reachable (probe {attempt}); "
+              "retrying in 60s...", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
