@@ -397,3 +397,42 @@ def test_checkpoint_partial_dir_skipped_and_fingerprint_checked(tmp_path):
     state2 = create_train_state(jax.random.PRNGKey(0), h2, model2, None)
     with pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(tmp_path, state2)
+
+
+def test_bench_analytic_flops_vs_xla_cost_analysis():
+    """bench.py's analytic model-FLOPs (the basis of the published MFU)
+    cross-checked against XLA's own cost analysis of the compiled train
+    step on the tiny Building config: the two count slightly differently
+    (XLA counts remat recompute and fused elementwise but applies its own
+    dot cost model; the analytic count excludes recompute and assumes a
+    clean 3x fwd for fwd+bwd) — measured ratio 0.87 on CPU — so a band
+    assertion guards against unit/order-of-magnitude regressions in the
+    MFU arithmetic without pinning either cost model."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import jax
+    from bench import analytic_model_flops_per_step
+    from __graft_entry__ import _building_hparams, _make_batch
+    from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
+    from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
+                                         make_train_step,
+                                         render_config_from_hparams)
+
+    h = _building_hparams(tiny=True)
+    h.batch_size = 64
+    model = get_nerf(h, appearance_count=8)
+    bg = get_bg_nerf(h, 8)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg)
+    step = jax.jit(make_train_step(model, bg, h,
+                                   render_config_from_hparams(h),
+                                   SceneInfo()))
+    comp = step.lower(state, _make_batch(h, h.batch_size)).compile()
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    xla = float(ca["flops"])
+    analytic = analytic_model_flops_per_step(h, appearance_count=8)
+    ratio = xla / analytic
+    assert 0.6 < ratio < 1.6, (
+        f"analytic model FLOPs diverged from XLA cost analysis: "
+        f"xla={xla:.3e} analytic={analytic:.3e} ratio={ratio:.3f}")
