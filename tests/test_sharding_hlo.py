@@ -69,3 +69,43 @@ def test_pure_dp_step_has_no_all_to_all(hlo_dp):
     assert not re.search(r"\ball-to-all\b", hlo_dp), \
         "pure-DP step unexpectedly contains an all-to-all"
     assert re.search(r"\ball-reduce\b", hlo_dp)
+
+
+def test_mip_ep_step_shards_and_executes():
+    """The SECOND headline workload (Mission-Bay-style mip step: use_mip,
+    no bg, radii in the batch) over the same data×expert mesh: compiles
+    with the expert all-to-all + grad all-reduces, and EXECUTES one step
+    to a finite loss — multi-chip evidence isn't Building-only."""
+    import re
+
+    import jax.numpy as jnp
+
+    n = 8
+    mesh = create_mesh((n // 2, 2), devices=jax.devices()[:n])
+    h = g._building_hparams(tiny=True)
+    h.no_expert_parallel = False
+    h.batch_size = 64
+    h.use_mip = True
+    h.nerfmoe_class_name = "MipNeRFMoE"
+    h.bg_nerf = False
+    model = get_nerf(h, appearance_count=8)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, None)
+    cfg = render_config_from_hparams(h)
+    step = make_train_step(model, None, h, cfg, SceneInfo(), mip=True)
+
+    with jax.sharding.set_mesh(mesh):
+        bs = batch_sharding(mesh)
+        pshard = param_shardings(state.params, mesh, h.moe_expert_num,
+                                 not h.no_expert_parallel)
+        state = state.replace(params=jax.device_put(state.params, pshard))
+        batch = g._make_batch(h, h.batch_size, seed=2)
+        batch["radii"] = jnp.full((h.batch_size, 1), 0.02, jnp.float32)
+        batch = jax.device_put(batch, {k: bs for k in batch})
+        compiled = jax.jit(step).lower(state, batch).compile()
+        hlo = compiled.as_text()
+        assert re.search(r"\ball-to-all\b", hlo), \
+            "mip EP step compiled without the expert all-to-all"
+        assert re.search(r"\ball-reduce\b", hlo)
+        new_state, metrics = compiled(state, batch)
+        loss = float(metrics["loss"])
+        assert loss == loss and loss < 1e6, f"non-finite mip EP loss {loss}"
