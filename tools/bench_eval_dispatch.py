@@ -51,6 +51,8 @@ def bench(moe_test_batch: bool, steps: int = 10) -> float:
 
 
 def main():
+    from bench import _wait_for_backend
+    _wait_for_backend()
     r_nodrop = bench(False)
     r_padded = bench(True)
     print(json.dumps({

@@ -88,6 +88,8 @@ def bench(batch_size: int, chunk: int, steps: int = 10) -> float:
 
 
 def main():
+    from bench import _wait_for_backend
+    _wait_for_backend()
     chunks = [int(c) for c in sys.argv[1:]] or [16384]
     results = {}
     for c in chunks:

@@ -53,6 +53,8 @@ def bench(batch_size: int, chunk: int, steps: int = 10) -> float:
 
 
 def main():
+    from bench import _wait_for_backend
+    _wait_for_backend()
     grid = {}
     for bs in (1024, 4096, 8192):
         for chunk in (16384, 65536):

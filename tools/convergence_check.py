@@ -396,6 +396,8 @@ def run_mip(iters: int = 4000) -> None:
 
 
 if __name__ == "__main__":
+    from bench import _wait_for_backend
+    _wait_for_backend()
     iters = None
     for a in sys.argv[1:]:
         if a.startswith("--iters="):

@@ -118,6 +118,8 @@ def parse_trace(trace_dir: str):
 
 
 def main():
+    from bench import _wait_for_backend
+    _wait_for_backend()
     steps = 5
     bg = True
     mission_bay = False
