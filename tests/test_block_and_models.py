@@ -296,3 +296,47 @@ def test_gigapixel_loader(tmp_path):
     # integer >1 divides
     img3, _ = load_gigapixel_data(path, scale_factor=2)
     assert img3.shape == (h // 2, w // 2, 3)
+
+
+def test_copy_images_undistorts_into_dataset(tmp_path):
+    """copy_images parity (reference scripts/copy_images.py): mappings.txt
+    is `<image>,<metadata_name>`, the metadata is found in train/ OR val/,
+    the image is undistorted with the metadata camera matrix + distortion
+    and written to <split>/rgbs/<metadata_stem>.<ext>."""
+    import cv2
+    import torch
+    from scripts.copy_images import undistort_into_dataset
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 32
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    imgs = {}
+    for name in ("a.png", "b.png"):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(raw / name), img)
+        imgs[name] = img
+
+    ds = tmp_path / "ds"
+    (ds / "train" / "metadata").mkdir(parents=True)
+    (ds / "val" / "metadata").mkdir(parents=True)
+    meta = {"intrinsics": torch.tensor([50.0, 50.0, w / 2, h / 2]),
+            "distortion": torch.zeros(4), "H": h, "W": w}
+    torch.save(meta, ds / "train" / "metadata" / "000000.pt")
+    torch.save(meta, ds / "val" / "metadata" / "000001.pt")
+    (ds / "mappings.txt").write_text("a.png,000000.pt\nb.png,000001.pt\n")
+
+    n = undistort_into_dataset(raw, ds)
+    assert n == 2
+    out_train = cv2.imread(str(ds / "train" / "rgbs" / "000000.png"))
+    out_val = cv2.imread(str(ds / "val" / "rgbs" / "000001.png"))
+    # zero distortion -> undistortion is the identity remap
+    assert np.abs(out_train.astype(int) - imgs["a.png"].astype(int)).max() <= 1
+    assert np.abs(out_val.astype(int) - imgs["b.png"].astype(int)).max() <= 1
+
+    # nonzero distortion actually changes pixels (the step isn't a no-op)
+    meta2 = dict(meta, distortion=torch.tensor([0.3, 0.01, 0.0, 0.0]))
+    torch.save(meta2, ds / "train" / "metadata" / "000000.pt")
+    undistort_into_dataset(raw, ds)
+    out2 = cv2.imread(str(ds / "train" / "rgbs" / "000000.png"))
+    assert np.abs(out2.astype(int) - imgs["a.png"].astype(int)).max() > 1
