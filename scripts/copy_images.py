@@ -42,6 +42,8 @@ def undistort_into_dataset(image_path: Path, dataset_path: Path) -> int:
                     f"{metadata_name} in neither train/ nor val/ metadata"
 
             distorted = cv2.imread(str(image_path / image_name))
+            assert distorted is not None, \
+                f"unreadable source image {image_path / image_name}"
             metadata = torch.load(metadata_path, map_location="cpu",
                                   weights_only=False)
             intrinsics = metadata["intrinsics"]
