@@ -106,3 +106,41 @@ def test_cli_crash_record(tmp_path):
     assert "Traceback" in report["traceback"]
     assert report["argv"] and report["pid"] > 0
     assert "crash report written" in proc.stdout
+
+
+import pathlib as _pathlib
+
+import pytest as _pytest
+
+_CFG_DIR = (_pathlib.Path(__file__).resolve().parent.parent
+            / "configs" / "switch_nerf")
+
+
+@_pytest.mark.parametrize(
+    "cfg", sorted(_CFG_DIR.glob("*.yaml")), ids=lambda p: p.stem)
+def test_shipped_configs_parse_and_build(cfg):
+    """Every shipped scene YAML parses through its production parser and
+    its model graph actually initializes (catches config typos in the
+    scenes no other test loads — rubble/residence/sci-art/campus)."""
+    import jax
+    from switch_nerf_tpu.config import get_opts, get_opts_nerf, parse_args
+    from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
+    from switch_nerf_tpu.trainer import create_train_state
+
+    is_nerf = cfg.stem == "bungee"          # data_type: nerf -> nerf parser
+    parser = get_opts_nerf() if is_nerf else get_opts()
+    argv = ["--config_file", str(cfg), "--exp_name", "unused",
+            "--dataset_path", "unused"]
+    if not is_nerf:
+        # the published commands pass the MoE switches on the CLI
+        # (reference README.md:59-82), not in the YAML
+        argv += ["--use_moe", "--use_moe_external_gate",
+                 "--use_gate_input_norm", "--batch_prioritized_routing"]
+    h = parse_args(parser, argv)
+    assert h.model is not None and "layers" in h.model
+
+    model = get_nerf(h, appearance_count=2)
+    bg = get_bg_nerf(h, 2) if h.bg_nerf else None
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    assert n_params > 1000
