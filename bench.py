@@ -98,6 +98,7 @@ def _wait_for_backend(total_wait_s: float = 3600,
                 timeout=probe_timeout_s, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL)
             if r.returncode == 0:
+                time.sleep(2)   # let the pool release the probe's grant
                 return
         except subprocess.TimeoutExpired:
             pass
