@@ -1,15 +1,21 @@
 """Multi-process SPMD worker for the 2-process CPU distributed test.
 
-Run as `python tests/multihost_worker.py <pid> <nproc> <port> <ckpt_dir>`:
-initialises jax.distributed over localhost, builds the tiny Building-style
-NeRFMoE (fg + bg, 4 experts) on a global ('data','expert') = (4, 2) mesh
-spanning all processes, trains 10 steps through the PRODUCTION feeding path
-(Runner._put_batch -> jax.make_array_from_process_local_data), then
-round-trips a sharded (orbax) checkpoint.
+Run as `python tests/multihost_worker.py <pid> <nproc> <port> <ckpt_dir>
+[mode]`: initialises jax.distributed over localhost, builds the tiny
+Building-style NeRFMoE (fg + bg, 4 experts) on a global
+('data','expert') = (4, 2) mesh spanning all processes, trains 10 steps
+through the PRODUCTION feeding path (Runner._put_batch ->
+jax.make_array_from_process_local_data), then round-trips a sharded
+(orbax) checkpoint.
 
 With nproc=1 the same script is the single-process reference: identical
 global batches, identical mesh, so the loss trajectory must match the
 multi-process run exactly (VERDICT r1 item 5's done-criterion).
+
+mode="resume": train 5 steps, save the SHARDED checkpoint, restore it
+into a fresh template, and continue the remaining 5 steps from the
+RESTORED state — the 10-loss sequence must be bit-equal to mode="full"'s
+(multi-process exact resume through the orbax sharded path).
 
 Prints one line: `RESULT {"losses": [...], "ckpt_ok": true}`.
 """
@@ -21,6 +27,7 @@ import sys
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     ckpt_dir = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     per_proc_devices = 8 // nproc
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -86,12 +93,39 @@ def main() -> None:
     step_fn = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                       donate_argnums=0)
 
-    losses = []
-    for i in range(10):
-        b = _make_batch(h, h.batch_size, seed=100 + i)
-        b = {k: np.asarray(v, np.float32) for k, v in b.items()}
-        state, m = step_fn(state, shim._put_batch(b))
-        losses.append(float(m["all_loss"]))
+    def run_steps(st, start, stop):
+        out = []
+        for i in range(start, stop):
+            b = _make_batch(h, h.batch_size, seed=100 + i)
+            b = {k: np.asarray(v, np.float32) for k, v in b.items()}
+            st, m = step_fn(st, shim._put_batch(b))
+            out.append(float(m["all_loss"]))
+        return st, out
+
+    if mode == "resume":
+        # 5 steps -> sharded save -> restore into a FRESH template ->
+        # continue 5 steps from the restored state. The full 10-loss
+        # sequence must be bit-equal to mode="full"'s.
+        state, losses = run_steps(state, 0, 5)
+        save_checkpoint(ckpt_dir, state, dataset_state="3",
+                        dataset_index=5, sharded=True)
+        fresh = to_device(create_train_state(
+            jax.random.PRNGKey(1), h, model, bg_model))
+        restored, extra = load_checkpoint(ckpt_dir, fresh,
+                                          restore_rng_states=True)
+        resume_ok = (int(restored.step) == 5
+                     and extra["dataset_index"] == 5)
+        restored, more = run_steps(restored, 5, 10)
+        losses += more
+        from switch_nerf_tpu.utils.meters import allgather_json
+        all_flags = allgather_json({"resume_ok": bool(resume_ok)})
+        if pid == 0:
+            print("RESULT " + json.dumps(
+                {"resume_ok": all(d["resume_ok"] for d in all_flags),
+                 "losses": losses}))
+        return
+
+    state, losses = run_steps(state, 0, 10)
 
     # sharded checkpoint round-trip (orbax): save from the sharded state,
     # restore into a freshly-initialised sharded template, compare
