@@ -88,15 +88,6 @@ def _stub_configargparse():
 
 # Defaults that deliberately differ, each with the reason:
 ALLOWED_DEFAULT_DIFF = {
-    # reference CUDA-autocast dtype flag; our --amp means bf16 (the
-    # published commands pass --amp_use_bfloat16 anyway)
-    "amp_use_bfloat16",
-    # torch.load / DataLoader knobs with no JAX meaning; we keep the
-    # flags for command compatibility but default them off/auto
-    "data_loader_num_workers",
-    # reference defaults model_chunk_size for 3090 memory; ours defaults
-    # to the measured v5e sweet spot (16384) — a pure perf tunable
-    "model_chunk_size",
     # repo-layout-relative default paths (the reference points into its
     # own package tree, 'mega_nerf/datasets/lists/...'; ours into
     # 'switch_nerf_tpu/datasets/lists/...') — same files, same format
@@ -134,3 +125,28 @@ def test_shared_flag_defaults_match():
             if r != o and not (r is None and o is None):
                 diffs.append(f"{name}:{dest}: reference={r!r} ours={o!r}")
         assert not diffs, "default mismatches:\n" + "\n".join(diffs)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_default_diff_allowlist_is_not_stale():
+    """Every ALLOWED_DEFAULT_DIFF entry must actually differ in at least
+    one parser pair — entries whose defaults match are dead weight."""
+    import importlib.util
+    import sys
+
+    _stub_configargparse()
+    still_differ = set()
+    for get, name in ((get_opts, "opts"), (get_opts_nerf, "opts_nerf")):
+        spec = importlib.util.spec_from_file_location(
+            f"ref2_{name}", REFERENCE / f"{name}.py")
+        ref_mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref2_{name}"] = ref_mod
+        spec.loader.exec_module(ref_mod)
+        rd = {a.dest: a.default for a in ref_mod.get_opts_base()._actions
+              if a.option_strings}
+        od = {a.dest: a.default for a in get()._actions if a.option_strings}
+        for dest in ALLOWED_DEFAULT_DIFF:
+            if dest in rd and dest in od and rd[dest] != od[dest]:
+                still_differ.add(dest)
+    stale = ALLOWED_DEFAULT_DIFF - still_differ
+    assert not stale, f"stale default-diff allowlist entries: {sorted(stale)}"
