@@ -106,7 +106,6 @@ def test_shared_flag_defaults_match():
     import sys
 
     _stub_configargparse()
-    ours_by_parser = {}
     for get, name in ((get_opts, "opts"), (get_opts_nerf, "opts_nerf")):
         spec = importlib.util.spec_from_file_location(
             f"ref_{name}", REFERENCE / f"{name}.py")
