@@ -149,3 +149,31 @@ def test_default_diff_allowlist_is_not_stale():
                 still_differ.add(dest)
     stale = ALLOWED_DEFAULT_DIFF - still_differ
     assert not stale, f"stale default-diff allowlist entries: {sorted(stale)}"
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shared_flag_choices_are_superset():
+    """A choice value the reference accepts must be accepted here too
+    (ours may add extras, e.g. extension dispatch modes)."""
+    import importlib.util
+    import sys
+
+    _stub_configargparse()
+    bad = []
+    for get, name in ((get_opts, "opts"), (get_opts_nerf, "opts_nerf")):
+        spec = importlib.util.spec_from_file_location(
+            f"ref3_{name}", REFERENCE / f"{name}.py")
+        ref_mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref3_{name}"] = ref_mod
+        spec.loader.exec_module(ref_mod)
+        rc = {a.dest: a.choices for a in ref_mod.get_opts_base()._actions
+              if a.option_strings and a.choices}
+        oc = {a.dest: a.choices for a in get()._actions if a.option_strings}
+        for dest, choices in rc.items():
+            if dest not in oc:
+                continue
+            ours = oc[dest]
+            if ours is not None and not set(choices) <= set(ours):
+                bad.append(f"{name}:{dest}: reference {sorted(choices)} "
+                           f"vs ours {sorted(ours)}")
+    assert not bad, "choice regressions:\n" + "\n".join(bad)
