@@ -84,7 +84,14 @@ def _wait_for_backend(total_wait_s: float = 3600,
     import subprocess
     import sys
     import time
-    if os.environ.get("JAX_PLATFORMS", "axon") not in ("", "axon"):
+    plat = None
+    try:
+        import jax                       # in-process config wins over env
+        plat = getattr(jax.config, "jax_platforms", None)
+    except Exception:
+        pass
+    plat = plat or os.environ.get("JAX_PLATFORMS", "axon")
+    if plat not in ("", "axon"):
         return          # CPU/other backends don't need the tunnel
     total_wait_s = float(os.environ.get("SWITCH_NERF_BENCH_WAIT_S",
                                         total_wait_s))
