@@ -16,6 +16,32 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(rgba, r2)
 
 
+def test_merge_points_nerf_discovery(tmp_path):
+    """model_type='nerf' merge_all discovers image ids from the PLY
+    filename prefixes (reference merge_points.py:38-43) and uses the
+    same top_{k}_exp_{e} naming as 'switch' (:61-62)."""
+    from scripts.merge_points import merge
+
+    rng = np.random.default_rng(1)
+    for image_id in ("000", "003"):            # non-contiguous ids
+        d = tmp_path / image_id
+        d.mkdir()
+        for e in range(2):
+            xyz = rng.normal(0, 1, (40, 3)).astype(np.float32)
+            rgba = rng.integers(0, 255, (40, 4), dtype=np.uint8)
+            write_ply_points(
+                d / f"{int(image_id):03d}_coarse_pts_rgba_top_0_exp_{e}.ply",
+                xyz, rgba)
+
+    out = tmp_path / "merged"
+    merge(tmp_path, out, down_scale=0.5, expert_num=2, merge_all=True,
+          model_type="nerf")
+    for e in range(2):
+        x, _ = read_ply_points(out / f"coarse_pts_rgba_exp_{e}.ply")
+        # int(40 * 0.5) per image x 2 images (reference sample_num law)
+        assert x.shape[0] == 40
+
+
 def test_eval_points_and_merge(tmp_path):
     """Train a tiny MoE 2 iters on a synthetic scene, export point clouds,
     merge them."""
