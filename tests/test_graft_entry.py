@@ -40,10 +40,12 @@ import pytest
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [4, 16])
+@pytest.mark.parametrize("n", [4, 6, 16])
 def test_dryrun_multichip_other_mesh_sizes(n):
     """Round-2 verdict item 9: the sharded train step generalizes beyond
     the (4,2) mesh — n=4 gives a (2,2) mesh (EP == half the devices),
+    n=6 a (3,2) mesh (ODD data-axis factor: non-power-of-two batch
+    split + non-dividing weight-parallel dims degrade to replicated),
     n=16 a (8,2) mesh (more devices than the 4 experts' EP shards)."""
     proc = _run_in_one_device_process(
         f"import __graft_entry__ as g; g.dryrun_multichip({n})")
