@@ -88,6 +88,13 @@ def _wait_for_backend(total_wait_s: float = 3600,
     try:
         import jax                       # in-process config wins over env
         plat = getattr(jax.config, "jax_platforms", None)
+        if "jax" in sys.modules:
+            # backend already initialized in THIS process (e.g. entry()
+            # called after device work) — the tunnel is demonstrably up,
+            # skip the subprocess probe on the healthy path
+            from jax._src import xla_bridge
+            if xla_bridge._backends:
+                return
     except Exception:
         pass
     plat = plat or os.environ.get("JAX_PLATFORMS", "axon")
@@ -97,24 +104,31 @@ def _wait_for_backend(total_wait_s: float = 3600,
                                         total_wait_s))
     deadline = time.time() + total_wait_s
     attempt = 0
+    last_err = ""
     while True:
         attempt += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=probe_timeout_s, stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL)
+                stderr=subprocess.PIPE)
             if r.returncode == 0:
                 time.sleep(2)   # let the pool release the probe's grant
                 return
+            last_err = (r.stderr or b"").decode(
+                "utf-8", "replace").strip()[-2000:]
         except subprocess.TimeoutExpired:
-            pass
+            last_err = f"probe timed out after {probe_timeout_s:.0f}s"
         if time.time() > deadline:
             raise RuntimeError(
-                "TPU backend unreachable (axon tunnel down?) after "
-                f"{total_wait_s:.0f}s of probing")
+                "TPU backend unreachable after "
+                f"{total_wait_s:.0f}s of probing (axon tunnel down, or a "
+                "deterministic startup failure — see last probe stderr "
+                f"below)\n--- last probe stderr ---\n{last_err}")
         print(f"bench: TPU backend not reachable (probe {attempt}); "
-              "retrying in 60s...", file=sys.stderr, flush=True)
+              "retrying in 60s...\n--- probe stderr tail ---\n"
+              + "\n".join(last_err.splitlines()[-5:]),
+              file=sys.stderr, flush=True)
         time.sleep(60)
 
 

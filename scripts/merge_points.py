@@ -32,7 +32,14 @@ def _resolve_image_ids(data_path: Path, image_ids, merge_all: bool,
             ids = {p.name.split("_")[0] for p in data_path.glob("**/*.ply")
                    if p.name.split("_")[0].isdigit()}
             return sorted(ids, key=int)
-        return [str(i) for i in range(image_num)]
+        if image_num > 0:
+            # explicit --image_num keeps the reference's range semantics
+            return [str(i) for i in range(image_num)]
+        # auto-discovery: use the numeric dir names themselves, not a
+        # synthesized range — eval_points subsets may be non-contiguous
+        # or non-zero-based
+        return sorted((p.name for p in data_path.iterdir()
+                       if p.is_dir() and p.name.isdigit()), key=int)
     return list(image_ids or [])
 
 
@@ -86,11 +93,13 @@ def merge(data_path: Path, save_dir=None, down_scale: float = 1.0,
     data_path = Path(data_path)
     save_dir = data_path if save_dir is None else Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-    if merge_all and image_num == 0 and model_type != "nerf":
-        image_num = sum(1 for p in data_path.iterdir()
-                        if p.is_dir() and p.name.isdigit())
     ids = _resolve_image_ids(data_path, image_ids, merge_all, image_num,
                              model_type)
+    if not ids:
+        raise FileNotFoundError(
+            f"no per-image point clouds found under {data_path} — expected "
+            "numeric per-image subdirectories (eval_points output) or "
+            "NNN_*.ply files for model_type=nerf")
     rng = np.random.default_rng(seed)
     if expert_num > 0:
         for e in range(expert_num):

@@ -331,16 +331,17 @@ class Runner:
         train_paths.sort(key=lambda x: x.name)
         val_set = set(val_paths)
         image_indices = {p.name: i for i, p in enumerate(train_paths)}
-        if self.experiment_path is not None and jax.process_index() == 0:
-            # name -> index record like the reference's image_indices.txt
-            # (runner.py:1034-1052): lets eval outputs be traced back to
-            # source images
-            (self.experiment_path / "image_indices.txt").write_text(
-                "".join(f"{name} {i}\n"
-                        for name, i in image_indices.items()))
         train_items = [self._get_metadata_item(
             x, image_indices[x.name], h.train_scale_factor, x in val_set)
             for x in train_paths]
+        if self.experiment_path is not None and jax.process_index() == 0:
+            # index,rgb-filename record exactly like the reference's
+            # image_indices.txt (runner.py:1048-1050: '{},{}'.format(
+            # image_index, image_path.name)) so downstream tooling that
+            # parses it keeps working
+            (self.experiment_path / "image_indices.txt").write_text(
+                "".join(f"{it.image_index},{it.image_path.name}\n"
+                        for it in train_items))
         val_items = [self._get_metadata_item(
             x, image_indices[x.name], h.val_scale_factor, True)
             for x in val_paths]

@@ -127,7 +127,10 @@ def test_shipped_configs_parse_and_build(cfg):
     from switch_nerf_tpu.models.model_utils import get_bg_nerf, get_nerf
     from switch_nerf_tpu.trainer import create_train_state
 
-    is_nerf = cfg.stem == "bungee"          # data_type: nerf -> nerf parser
+    import yaml
+    # dispatch on the config's own data_type (the field the CLIs key on),
+    # not on the filename, so new/renamed scene YAMLs route correctly
+    is_nerf = yaml.safe_load(cfg.read_text()).get("data_type") == "nerf"
     parser = get_opts_nerf() if is_nerf else get_opts()
     argv = ["--config_file", str(cfg), "--exp_name", "unused",
             "--dataset_path", "unused"]

@@ -42,6 +42,40 @@ def test_merge_points_nerf_discovery(tmp_path):
         assert x.shape[0] == 40
 
 
+def test_merge_points_noncontiguous_dirs(tmp_path):
+    """merge_all auto-discovery (image_num=0) uses the actual numeric dir
+    names, so a non-zero-based / non-contiguous eval_points subset (e.g.
+    dirs 5 and 7 only) merges instead of probing paths that never
+    existed."""
+    from scripts.merge_points import merge
+
+    rng = np.random.default_rng(2)
+    for image_id in ("5", "7"):
+        d = tmp_path / image_id
+        d.mkdir()
+        xyz = rng.normal(0, 1, (40, 3)).astype(np.float32)
+        rgba = rng.integers(0, 255, (40, 4), dtype=np.uint8)
+        write_ply_points(
+            d / f"{int(image_id):03d}_coarse_pts_rgba_top_0_exp_0.ply",
+            xyz, rgba)
+
+    out = tmp_path / "merged"
+    merge(tmp_path, out, down_scale=1.0, expert_num=1, merge_all=True,
+          model_type="switch")
+    x, _ = read_ply_points(out / "coarse_pts_rgba_exp_0.ply")
+    assert x.shape[0] == 80
+
+
+def test_merge_points_empty_input_errors(tmp_path):
+    """A data_path with no per-image content is a loud error (wrong
+    --data_path), not 8 silently-empty merged clouds."""
+    from scripts.merge_points import merge
+
+    with pytest.raises(FileNotFoundError, match="no per-image point"):
+        merge(tmp_path, tmp_path / "merged", expert_num=2, merge_all=True,
+              model_type="switch")
+
+
 def test_eval_points_and_merge(tmp_path):
     """Train a tiny MoE 2 iters on a synthetic scene, export point clouds,
     merge them."""

@@ -84,6 +84,16 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     assert runner.ray_altitude_range[0] == pytest.approx(-3.0)
     assert runner.sphere_center is not None  # ellipse bounds computed
 
+    # image_indices.txt uses the reference's '{index},{rgb filename}'
+    # record format (reference runner.py:1048-1050)
+    idx_lines = (runner.experiment_path
+                 / "image_indices.txt").read_text().splitlines()
+    assert idx_lines, "image_indices.txt missing or empty"
+    for line in idx_lines:
+        idx, name = line.split(",")
+        assert idx == str(int(idx))
+        assert name.endswith((".jpg", ".JPG", ".png", ".PNG"))
+
     state = runner.train()
     assert int(state.step) == 6
     # profiler trace window written (--profile_trace_step)
