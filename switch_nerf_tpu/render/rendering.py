@@ -36,6 +36,15 @@ ModelFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
 # chunk-scan unroll factor (module-level experiment knob; 1 measured best
 # on v5e — see STATUS.md perf notes)
 _SCAN_UNROLL = 1
+# experiment knob: lax.scan(_split_transpose=True) splits the scan
+# backward into a forward-replay scan + a reversed backward scan instead
+# of one fused replay+bwd loop. A/B'd on v5e (Building bg-on b1024):
+# dead even across repeated pairs (11,942/11,926 vs 11,829/11,956
+# baseline) — default stays off; env knob kept for future re-measurement.
+
+
+def _scan_split_transpose() -> bool:
+    return os.environ.get("SWITCH_NERF_SCAN_SPLIT_TRANSPOSE", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,7 +165,8 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
                 return carry, one_chunk(tuple(pts_parts), crng)
             _, (outs, moe_losses) = jax.lax.scan(
                 body, None, (*xs, chunk_rngs[:n_full]),
-                unroll=_SCAN_UNROLL)
+                unroll=_SCAN_UNROLL,
+                _split_transpose=_scan_split_transpose())
         out_parts.append(outs.reshape(n_full * chunk, -1))
         moe_parts.append(moe_losses)
     if rem:

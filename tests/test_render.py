@@ -212,3 +212,12 @@ def test_remat_save_names_invariant(monkeypatch):
     np.testing.assert_array_equal(grads["default"], grads["no_pe"])
     np.testing.assert_allclose(grads["default"], grads["no_remat"],
                                rtol=1e-6, atol=1e-7)
+
+    # the split-transpose scan-backward knob is a scheduling experiment,
+    # never a numerics one: gradients stay bit-identical with it on
+    monkeypatch.delenv("SWITCH_NERF_REMAT_SAVE", raising=False)
+    monkeypatch.setenv("SWITCH_NERF_SCAN_SPLIT_TRANSPOSE", "1")
+    cfg = RenderConfig(model_chunk_size=16, remat_chunks=True)
+    g_split = np.asarray(jax.grad(loss)(w, cfg))
+    np.testing.assert_allclose(g_split, grads["default"],
+                               rtol=1e-6, atol=1e-7)
