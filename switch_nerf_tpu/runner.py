@@ -670,7 +670,11 @@ class Runner:
                     main_log(f"Saved checkpoint at {train_iterations}")
 
                 if train_iterations % h.val_interval == 0:
-                    self._run_validation_image(state)
+                    # the TB-scalar validation protocol (the reference's
+                    # in-train analog, runner.py:759/1263) — the file-
+                    # writing eval_image protocol belongs to the offline
+                    # CLIs, not every val_interval
+                    self._run_validation(state, train_iterations)
 
                 # multi-process: the agreement allgather would host-sync
                 # every step, so check on a fixed cadence (every process
@@ -814,8 +818,10 @@ class Runner:
             scene = SceneInfo(self.sphere_center, self.sphere_radius)
             self._eval_step = jax.jit(make_eval_step(
                 self.nerf, self.bg_nerf, h, render_cfg, scene, mip=self.mip))
-        eval_step = self._eval_step
+        return self._batched_collective_fn(self._eval_step, state)
 
+    def _batched_collective_fn(self, program, state):
+        h = self.hparams
         multi = jax.process_count() > 1
 
         def render_chunks(rays: np.ndarray, image_index: float,
@@ -918,18 +924,53 @@ class Runner:
         return max((v.get("peak_bytes_in_use_mib", 0.0)
                     for v in stats.values() if v), default=0.0)
 
-    def _image_metrics_half(self, pred: np.ndarray, gt: np.ndarray
+    def _image_metrics_half(self, pred: np.ndarray, gt: np.ndarray,
+                            valid_mask: Optional[np.ndarray] = None
                             ) -> Dict[str, float]:
-        """Right-half PSNR/SSIM/LPIPS (reference runner.py:1296-1333)."""
+        """Right-half PSNR/SSIM/LPIPS (reference runner.py:1296-1333).
+
+        With a valid_mask (Block-NeRF moving-object masks, True == valid)
+        the masked variants are computed too, on the same right-half crop
+        (reference runner.py:1700-1761), in the reference's metrics txt
+        field order: psnr, ssim[, psnr_mask, ssim_mask], lpips-*."""
         half = gt.shape[1] // 2
         pred_r, gt_r = pred[:, half:], gt[:, half:]
         out = {"psnr": M.psnr(jnp.asarray(pred_r), jnp.asarray(gt_r)),
                "ssim": M.ssim(pred_r, gt_r, 1.0)}
+        if valid_mask is not None:
+            mask_r = valid_mask[:, half:]
+            out["psnr_mask"] = M.psnr_mask(jnp.asarray(pred_r),
+                                           jnp.asarray(gt_r), mask_r)
+            out["ssim_mask"] = M.ssim_mask(pred_r, gt_r, 1.0, mask_r)
         # [0, 1] inputs — the reference contract; metrics.lpips scales
         for k, v in M.lpips(pred_r, gt_r).items():
             if v is not None:
                 out[f"lpips-{k}"] = v
         return out
+
+    @staticmethod
+    def _agg_key(k: str) -> str:
+        """Per-image metric name -> the reference's aggregate metric key
+        ('psnr' -> 'val/psnr', 'lpips-vgg' -> 'val/lpips/vgg'; reference
+        runner.py:1453-1512 agg_key fields)."""
+        if k.startswith("val/"):
+            return k
+        if k.startswith("lpips-"):
+            return "val/lpips/" + k[len("lpips-"):]
+        return f"val/{k}"
+
+    def _write_final_metrics(self, means: Dict[str, float]) -> None:
+        """experiment_path/metrics.txt with 'Average val/<metric>: <value>'
+        lines (reference _write_final_metrics, runner.py:1022-1032; means
+        here are already per-image averages — the reference divides its
+        running sums by len(val_items))."""
+        if self.experiment_path is None or jax.process_index() != 0:
+            return
+        with (self.experiment_path / "metrics.txt").open("w") as f:
+            for k, v in means.items():
+                msg = f"Average {self._agg_key(k)}: {v}"
+                main_log(msg)
+                f.write(msg + "\n")
 
     def _run_validation(self, state, train_index: Optional[int] = None
                         ) -> Dict[str, float]:
@@ -965,8 +1006,9 @@ class Runner:
         for i, im in sorted(self._gather_image_metrics(per_image).items()):
             if self.writer is not None:
                 for k, v in im.items():
-                    self.writer.add_scalar(f"val/{k}/{i}", v, train_index)
-        means = {f"val/{k}": v
+                    self.writer.add_scalar(f"{self._agg_key(k)}/{i}", v,
+                                           train_index)
+        means = {self._agg_key(k): v
                  for k, v in meter.mean_across_processes().items()}
         if self.writer is not None:
             for k, v in means.items():
@@ -976,15 +1018,18 @@ class Runner:
         return means
 
     def _run_validation_image(self, state) -> Dict[str, float]:
-        """Right-half val-image protocol with per-image time/memory and
-        image/metrics files (runner.py:1406-1607)."""
+        """Right-half val-image protocol with per-image time/memory and the
+        reference file set (runner.py:1406-1607): experiment_path/images/
+        metrics_{i}.txt + {i}_gt/_pred/_depth.jpg panel crops (+ _bg/_fg
+        sets when bg_nerf), triptychs under val_images/, per-image TB
+        scalars, and the 'Average val/...' metrics.txt summary."""
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
         per_image: Dict[int, Dict[str, float]] = {}
-        out_dir = (self.experiment_path / f"val_{int(state.step)}"
-                   if self.experiment_path is not None else None)
-        if out_dir is not None:
-            out_dir.mkdir(parents=True, exist_ok=True)
+        images_dir = val_images_dir = None
+        if self.experiment_path is not None:
+            images_dir = self.experiment_path / "images"
+            val_images_dir = self.experiment_path / "val_images"
 
         for i in range(len(self.val_items)):
             metadata = self.val_items[int(i)]
@@ -1007,50 +1052,111 @@ class Runner:
             main_log(f"val image {i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
 
-            if out_dir is not None:
-                self._write_val_outputs(out_dir, int(i), gt, pred, results,
-                                        typ, img_metrics)
+            if images_dir is not None:
+                self._write_reference_val_files(
+                    images_dir, val_images_dir, int(i), gt, pred, results,
+                    typ, img_metrics)
 
         for i, im in sorted(self._gather_image_metrics(per_image).items()):
             if self.writer is not None:
                 for k, v in im.items():
-                    self.writer.add_scalar(f"val/{k}/{i}", v,
+                    self.writer.add_scalar(f"{self._agg_key(k)}/{i}", v,
                                            int(state.step))
         means = meter.mean_across_processes()
         main_log("val means: " + " ".join(f"{k}={v:.4f}"
                                           for k, v in means.items()))
-        if out_dir is not None and jax.process_index() == 0:
-            (out_dir / "metrics.txt").write_text(
-                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        self._write_final_metrics(means)
         return means
+
+    @staticmethod
+    def _depth_for_viz(results, typ) -> Optional[np.ndarray]:
+        """Depth panel input with the reference's fg-depth 0.95-quantile
+        clamp (runner.py:1522-1528): when the render carries a foreground
+        depth, the composite depth is clamped at its 95th percentile
+        (subsampled by 2 while > 2^24 values, as there) so sky/background
+        distances don't wash out the foreground range."""
+        depth = results.get(f"depth_{typ}")
+        if depth is None:
+            return None
+        depth = np.asarray(depth, np.float32)
+        fg = results.get(f"fg_depth_{typ}")
+        if fg is not None:
+            to_use = np.asarray(fg, np.float32).reshape(-1)
+            while to_use.shape[0] > 2 ** 24:
+                to_use = to_use[::2]
+            depth = np.minimum(depth, np.quantile(to_use, 0.95))
+        return depth
+
+    @staticmethod
+    def _result_image(gt, pred, depth=None, colormap=None) -> np.ndarray:
+        """gt | pred | colormapped-depth uint8 triptych (reference
+        _create_result_image, runner.py:3011-3017; the classic-NeRF
+        variant threads --colormap through, :3019-3022)."""
+        trip = [np.asarray(gt)[..., :3],
+                np.clip(np.asarray(pred), 0.0, 1.0)[..., :3]]
+        if depth is not None:
+            trip.append(visualize_scalars(
+                np.asarray(depth),
+                colormap=colormap).astype(np.float32) / 255.0)
+        img = np.concatenate(trip, axis=1)
+        return (img * 255).astype(np.uint8)
 
     @staticmethod
     def _save_triptych(path: Path, gt, pred, depth=None):
         from PIL import Image
-        trip = [gt, np.clip(pred, 0.0, 1.0)]
-        if depth is not None:
-            trip.append(visualize_scalars(depth).astype(np.float32) / 255.0)
-        img = np.concatenate(
-            [np.asarray(t[..., :3]) for t in trip], axis=1)
-        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        Image.fromarray(Runner._result_image(gt, pred, depth)).save(path)
 
-    def _write_val_outputs(self, out_dir: Path, idx: int, gt, pred, results,
-                           typ, img_metrics):
-        self._save_triptych(out_dir / f"{idx:03d}.jpg", gt, pred,
-                            results.get(f"depth_{typ}"))
-        (out_dir / f"{idx:03d}.txt").write_text(
-            "\n".join(f"{k}: {v}" for k, v in img_metrics.items()))
-        # bg/fg decomposition images (reference runner.py:1355-1379): when
-        # the render carries the split, save gt|bg and gt|fg triptychs.
+    @staticmethod
+    def _save_panel_crops(arr: np.ndarray, images_dir: Path, key,
+                          suffix: str = ""):
+        """{i}_gt/_pred/_depth{suffix}.jpg third-crops of the triptych
+        (reference runner.py:1533-1537 PIL box crops at w//3 strides)."""
+        from PIL import Image
+        img = Image.fromarray(arr)
+        w, hgt = img.size
+        for ci, suf in enumerate(("gt", "pred", "depth")):
+            box = (w // 3 * ci, 0, w // 3 * (ci + 1), hgt)
+            img.crop(box).save(images_dir / f"{key}_{suf}{suffix}.jpg")
+
+    def _write_reference_val_files(self, images_dir: Path,
+                                   val_images_dir: Path, key,
+                                   gt, pred, results, typ,
+                                   metrics_txt: Dict[str, float]) -> None:
+        """Per-image eval file protocol (reference runner.py:1513-1585
+        mega / :1766-1830 blocknerf): metrics_{i}.txt, the triptych, its
+        gt/pred/depth third-crops, and the bg/fg decomposition sets when
+        the render carries the split. Deviation (docs/MIGRATION.md): the
+        full triptych always persists to val_images/{i}.jpg (the reference
+        sends it to TensorBoard when a writer exists and only keeps files
+        in the rank-strided tmp dir / the blocknerf val_images dir)."""
+        from PIL import Image
+        images_dir.mkdir(parents=True, exist_ok=True)
+        val_images_dir.mkdir(parents=True, exist_ok=True)
+        with (images_dir / f"metrics_{key}.txt").open("w") as f:
+            for k, v in metrics_txt.items():
+                f.write(f"{k}: {v}\n")
+        gt = np.asarray(gt, np.float32)
+        arr = self._result_image(gt, pred, self._depth_for_viz(results, typ))
+        Image.fromarray(arr).save(val_images_dir / f"{key}.jpg")
+        if arr.shape[1] == 3 * gt.shape[1]:     # depth panel present
+            self._save_panel_crops(arr, images_dir, key)
+        if not getattr(self.hparams, "bg_nerf", False):
+            return
+        # bg/fg decomposition (reference runner.py:1548-1585): a fine
+        # render may carry only coarse bg outputs -> fall back to coarse
         bg_typ = typ if f"bg_rgb_{typ}" in results else "coarse"
-        if f"bg_rgb_{bg_typ}" in results:
-            self._save_triptych(out_dir / f"{idx:03d}_bg.jpg", gt,
-                                results[f"bg_rgb_{bg_typ}"],
-                                results.get(f"bg_depth_{bg_typ}"))
-        if f"fg_rgb_{typ}" in results:
-            self._save_triptych(out_dir / f"{idx:03d}_fg.jpg", gt,
-                                results[f"fg_rgb_{typ}"],
-                                results.get(f"fg_depth_{typ}"))
+        if f"bg_rgb_{bg_typ}" not in results:
+            return
+        for sub, sub_typ in (("bg", bg_typ), ("fg", typ)):
+            if f"{sub}_rgb_{sub_typ}" not in results:
+                continue
+            rgb = np.asarray(
+                results[f"{sub}_rgb_{sub_typ}"]).reshape(gt.shape)
+            depth = results.get(f"{sub}_depth_{sub_typ}")
+            arr = self._result_image(gt, rgb, depth)
+            Image.fromarray(arr).save(val_images_dir / f"{key}_{sub}.jpg")
+            if depth is not None:
+                self._save_panel_crops(arr, images_dir, key, f"_{sub}")
 
     # ------------------------------------------- public eval entrypoints --
     def eval(self):
@@ -1058,9 +1164,7 @@ class Runner:
         _run_validation, runner.py:958-965)."""
         state = self._load_eval_state()
         means = self._run_validation(state, 0)
-        if self.experiment_path is not None and jax.process_index() == 0:
-            (self.experiment_path / "metrics.txt").write_text(
-                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        self._write_final_metrics(means)
         return means
 
     def eval_image(self):
@@ -1068,8 +1172,11 @@ class Runner:
         return self._run_validation_image(state)
 
     def eval_nerf(self):
+        # reference eval_nerf -> _run_validation_nerf(0, mode="test")
+        # (runner.py:1007-1013): the offline CLI evaluates the TEST split
+        # protocol dir (test_images_0)
         state = self._load_eval_state()
-        return self._run_validation_nerf(state)
+        return self._run_validation_nerf(state, mode="test")
 
     def eval_points(self):
         """Scene-decomposition evidence: per-expert colored point clouds.
@@ -1204,12 +1311,29 @@ class Runner:
             main_log(f"eval_points image {i}: {pts.shape[0]} points")
         return written
 
-    def eval_image_blocknerf(self):
-        """Block-NeRF tfrecord eval: masked + unmasked PSNR/SSIM.
+    @staticmethod
+    def _host_barrier(name: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(name)
 
-        Parity: eval_image_blocknerf.py -> _run_validation_image_blocknerf
-        (runner.py:1610-1869): val tfrecords with moving-object masks
-        (mask==1 -> moving -> excluded), mip rendering with radii.
+    def eval_image_blocknerf(self):
+        """Block-NeRF tfrecord eval (eval_image_blocknerf.py ->
+        _run_validation_image_blocknerf, reference runner.py:1610-1869).
+
+        Protocol parity: metrics are computed on the RIGHT half of each
+        val image (runner.py:1700-1703) — psnr/ssim, their masked variants
+        (moving-object mask, 1 == moving == invalid, :1674), and LPIPS
+        (:1749-1761) — plus per-image render time and peak device memory
+        (:1766-1768). Files follow the reference layout keyed by image
+        HASH: exp_name/images/metrics_{hash}.txt + {hash}_gt/_pred/
+        _depth.jpg crops (:1770-1787), exp_name/val_images/{hash}.jpg
+        triptychs — which double as the resume markers: images whose
+        triptych exists are skipped (:1659-1661) — per-image metric
+        records under exp_name/val_metrics/ (JSON here, torch .pt there),
+        and experiment_path/metrics.txt 'Average val/...' lines with sums
+        divided by the id map's val_image_num (:1838-1858), aggregated
+        from the val_metrics dir so resumed evals count earlier images.
         """
         from switch_nerf_tpu.datasets.block_filesystem_dataset import \
             load_tfrecord
@@ -1218,10 +1342,14 @@ class Runner:
         state = self._load_eval_state()
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
-        out_dir = (self.experiment_path / f"val_{int(state.step)}"
-                   if self.experiment_path is not None else None)
-        if out_dir is not None:
-            out_dir.mkdir(parents=True, exist_ok=True)
+        base = Path(h.exp_name)
+        images_dir = base / "images"
+        val_images_dir = base / "val_images"
+        metric_dir = base / "val_metrics"
+        if jax.process_index() == 0:
+            for d_ in (images_dir, val_images_dir, metric_dir):
+                d_.mkdir(parents=True, exist_ok=True)
+        self._host_barrier("blocknerf_eval_dirs")
 
         names = [l.strip() for l in
                  Path(h.block_val_list_path).read_text().splitlines()
@@ -1234,9 +1362,21 @@ class Runner:
             dicts = load_tfrecord(rec_path, id_map, self.near, self.far,
                                   load_mask=True)
             for d in dicts:
+                key = d.get("image_hash", str(img_counter))
+                i = img_counter
+                img_counter += 1
+                # resume marker (reference runner.py:1659-1661): the
+                # triptych write is the last act for an image, so its
+                # existence implies the metrics record is on disk too
+                if (val_images_dir / f"{key}.jpg").exists():
+                    continue
+                t0 = time.time()
                 rays = d["rays"].reshape(-1, 8)
                 radii = d["radii"].reshape(-1, 1)
                 res = render_chunks(rays, float(d["image_ids"]), radii)
+                render_time = time.time() - t0
+                if not self._owns_val_image(i):
+                    continue
                 typ = "fine" if "rgb_fine" in res else "coarse"
                 hh, ww = d["rgbs"].shape[:2]
                 pred = np.clip(res[f"rgb_{typ}"].reshape(hh, ww, 3), 0, 1)
@@ -1245,30 +1385,48 @@ class Runner:
                 valid = d.get("mask")
                 valid = (valid[..., 0] < 0.5) if valid is not None else \
                     np.ones((hh, ww), bool)
-                img_metrics = {
-                    "psnr": M.psnr(jnp.asarray(pred), jnp.asarray(gt)),
-                    "ssim": M.ssim(pred, gt, 1.0),
-                    "psnr_mask": M.psnr_mask(jnp.asarray(pred),
-                                             jnp.asarray(gt), valid),
-                    "ssim_mask": M.ssim_mask(pred, gt, 1.0, valid),
-                }
+                img_metrics = self._image_metrics_half(pred, gt, valid)
+                img_metrics["time"] = render_time
+                img_metrics["memory"] = self._peak_memory_mib()
                 meter.update(img_metrics)
-                main_log(f"blocknerf val image {img_counter}: " + " ".join(
+                main_log(f"blocknerf val image {key}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in img_metrics.items()))
-                if out_dir is not None:
-                    res_img = {f"rgb_{typ}": pred}
-                    if f"depth_{typ}" in res:
-                        res_img[f"depth_{typ}"] = \
-                            res[f"depth_{typ}"].reshape(hh, ww)
-                    self._write_val_outputs(out_dir, img_counter, gt, pred,
-                                            res_img, typ, img_metrics)
-                img_counter += 1
-        means = meter.mean()
+                (metric_dir / f"metrics-{key}.json").write_text(
+                    json.dumps({k: float(v)
+                                for k, v in img_metrics.items()}))
+                res_img = {f"rgb_{typ}": pred}
+                for extra in (f"depth_{typ}", f"fg_depth_{typ}",
+                              f"bg_depth_{typ}"):
+                    if extra in res:
+                        res_img[extra] = res[extra].reshape(hh, ww)
+                for extra in (f"fg_rgb_{typ}", f"bg_rgb_{typ}"):
+                    if extra in res:
+                        res_img[extra] = res[extra].reshape(hh, ww, 3)
+                self._write_reference_val_files(
+                    images_dir, val_images_dir, key, gt, pred, res_img,
+                    typ, img_metrics)
+        self._host_barrier("blocknerf_eval_done")
+        means = meter.mean_across_processes()
         main_log("blocknerf val means: " + " ".join(
             f"{k}={v:.4f}" for k, v in means.items()))
-        if out_dir is not None:
-            (out_dir / "metrics.txt").write_text(
-                "\n".join(f"{k}: {v}" for k, v in means.items()))
+        # final summary: aggregate EVERY per-image record on disk
+        # (including earlier resumed passes) / val_image_num
+        if jax.process_index() == 0 and self.experiment_path is not None:
+            sums: Dict[str, float] = {}
+            count = 0
+            for f_ in sorted(metric_dir.glob("metrics-*.json")):
+                rec = json.loads(f_.read_text())
+                count += 1
+                for k, v in rec.items():
+                    ak = self._agg_key(k)
+                    sums[ak] = sums.get(ak, 0.0) + float(v)
+            image_num = int(self.image_hash_id_map.get(
+                "val_image_num", count) or count)
+            with (self.experiment_path / "metrics.txt").open("w") as f:
+                for k, v in sums.items():
+                    msg = f"Average {k}: {v / image_num}"
+                    main_log(msg)
+                    f.write(msg + "\n")
         return means
 
     def eval_points_nerf(self):
@@ -1301,36 +1459,69 @@ class Runner:
         main_log(f"Checkpoint at step {int(state.step)}: {n/1e6:.3f}M params")
         return state
 
-    def _run_validation_nerf(self, state) -> Dict[str, float]:
-        """Classic-NeRF whole-image eval (runner.py:2205-2500)."""
+    def _run_validation_nerf(self, state, mode: str = "val",
+                             train_index: int = 0) -> Dict[str, float]:
+        """Classic-NeRF whole-image eval (runner.py:2205-2500): FULL-image
+        psnr/ssim/lpips (the right-half crop is commented out there,
+        :2288-2291) + per-image time/memory, written as
+        {mode}_images_{train_index}/metrics_{i}.txt and the gt/pred/depth
+        panels (:2337-2366, --colormap selects the cv2 depth colormap);
+        triptychs persist under val_images (deviation: the reference keeps
+        them only in a tmp dir / TensorBoard)."""
+        assert mode in ("val", "test")
         hp = self.hparams
         render_chunks = self._make_render_fn(state)
         meter = DictAverageMeter()
-        out_dir = (self.experiment_path / f"val_{int(state.step)}"
-                   if self.experiment_path is not None else None)
-        if out_dir is not None:
+        out_dir = val_images_dir = None
+        if self.experiment_path is not None:
+            out_dir = self.experiment_path / f"{mode}_images_{train_index}"
             out_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(len(self.val_set)):
-            sample = self.val_set[i]
+            val_images_dir = self.experiment_path / "val_images"
+            val_images_dir.mkdir(parents=True, exist_ok=True)
+        colormap = getattr(hp, "colormap", None)
+        # mode -> split (reference runner.py:2234-2239)
+        eval_set = self.val_set if mode == "val" else self.test_set
+        for i in range(len(eval_set)):
+            sample = eval_set[i]
             rays = sample["rays"].reshape(-1, 8)
             radii = sample.get("radii")
             if radii is not None:
                 radii = radii.reshape(-1, 1)
+            t0 = time.time()
             res = render_chunks(rays, float(sample["img_i"]), radii)
+            render_time = time.time() - t0
+            if not self._owns_val_image(i):
+                continue
             typ = "fine" if "rgb_fine" in res else "coarse"
             h, w = sample["rgbs"].shape[:2]
             pred = np.clip(res[f"rgb_{typ}"].reshape(h, w, 3), 0.0, 1.0)
             gt = sample["rgbs"]
             img_metrics = {"psnr": M.psnr(jnp.asarray(pred), jnp.asarray(gt)),
                            "ssim": M.ssim(pred, gt, 1.0)}
+            for k, v in M.lpips(pred, gt).items():
+                if v is not None:
+                    img_metrics[f"lpips-{k}"] = v
+            img_metrics["time"] = render_time
+            img_metrics["memory"] = self._peak_memory_mib()
             meter.update(img_metrics)
-            main_log(f"val image {i}: " + " ".join(
+            main_log(f"{mode} image {i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
             if out_dir is not None:
-                self._write_val_outputs(out_dir, i, gt, pred,
-                                        {f"rgb_{typ}": pred}, typ,
-                                        img_metrics)
-        means = meter.mean()
-        main_log("val means: " + " ".join(f"{k}={v:.4f}"
-                                          for k, v in means.items()))
+                with (out_dir / f"metrics_{i}.txt").open("w") as f:
+                    for k, v in img_metrics.items():
+                        f.write(f"{k}: {v}\n")
+                res_img = {f"rgb_{typ}": pred}
+                for extra in (f"depth_{typ}", f"fg_depth_{typ}"):
+                    if extra in res:
+                        res_img[extra] = res[extra].reshape(h, w)
+                depth = self._depth_for_viz(res_img, typ)
+                arr = self._result_image(gt, pred, depth,
+                                         colormap=colormap)
+                from PIL import Image
+                Image.fromarray(arr).save(val_images_dir / f"{i}.jpg")
+                if depth is not None:
+                    self._save_panel_crops(arr, out_dir, i)
+        means = meter.mean_across_processes()
+        main_log(f"{mode} means: " + " ".join(f"{k}={v:.4f}"
+                                              for k, v in means.items()))
         return means

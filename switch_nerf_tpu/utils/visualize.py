@@ -10,8 +10,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def visualize_scalars(scalar_tensor: np.ndarray) -> np.ndarray:
-    """[H, W] scalars -> [H, W, 3] uint8 colormapped."""
+def visualize_scalars(scalar_tensor: np.ndarray,
+                      colormap: int | None = None) -> np.ndarray:
+    """[H, W] scalars -> [H, W, 3] uint8 colormapped.
+
+    colormap: a cv2.COLORMAP_* integer (the classic-NeRF path's
+    --colormap flag feeds visualize_scalars_nerf, reference
+    runner.py:3040/opts_nerf.py:257; default INFERNO as in
+    visualize_scalars, runner.py:3037)."""
     to_use = scalar_tensor.astype(np.float64).copy()
     while to_use.ndim > 2:
         to_use = to_use[..., 0]
@@ -26,8 +32,9 @@ def visualize_scalars(scalar_tensor: np.ndarray) -> np.ndarray:
 
     try:
         import cv2
+        cmap = cv2.COLORMAP_INFERNO if colormap is None else int(colormap)
         img = cv2.applyColorMap(
-            ((1.0 - norm) * 255).astype(np.uint8), cv2.COLORMAP_INFERNO)
+            ((1.0 - norm) * 255).astype(np.uint8), cmap)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except Exception:
         # grayscale fallback

@@ -124,14 +124,29 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     for key in ("lpips-vgg-substitute", "lpips-alex-substitute",
                 "lpips-squeeze-substitute", "time", "memory"):
         assert key in means and np.isfinite(means[key]), key
-    # per-image outputs written, incl. the metrics.txt field set
-    val_dirs = list(runner3.experiment_path.glob("val_*"))
-    assert val_dirs and any(p.suffix == ".jpg"
-                            for p in val_dirs[0].iterdir())
-    metrics_txt = (val_dirs[0] / "metrics.txt").read_text()
-    assert "lpips-vgg-substitute" in metrics_txt and "memory" in metrics_txt
+    # reference eval-file layout (runner.py:1513-1585): per-image
+    # metrics_{i}.txt + gt/pred/depth panel crops (+ _bg/_fg sets when
+    # bg_nerf) under images/, triptychs under val_images/, and the
+    # 'Average val/...' summary at experiment_path/metrics.txt
+    images_dir = runner3.experiment_path / "images"
+    val_images_dir = runner3.experiment_path / "val_images"
+    assert (val_images_dir / "0.jpg").exists()
+    for suf in ("gt", "pred", "depth"):
+        assert (images_dir / f"0_{suf}.jpg").exists(), suf
+        if h3.bg_nerf:
+            assert (images_dir / f"0_{suf}_bg.jpg").exists(), suf
+            assert (images_dir / f"0_{suf}_fg.jpg").exists(), suf
+    metrics_txt = (images_dir / "metrics_0.txt").read_text()
+    mkeys = [line.split(":")[0] for line in metrics_txt.splitlines() if line]
+    # exact field order (reference runner.py:1513-1522)
+    assert mkeys[:2] == ["psnr", "ssim"] and mkeys[-2:] == ["time", "memory"]
+    assert all(k.startswith("lpips-") for k in mkeys[2:-2]) and mkeys[2:-2]
+    assert "lpips-vgg-substitute" in metrics_txt
     # substitute numbers must NEVER masquerade under the real-weight keys
     assert "lpips-vgg:" not in metrics_txt
+    summary = (runner3.experiment_path / "metrics.txt").read_text()
+    assert "Average val/psnr: " in summary
+    assert "Average val/lpips/vgg-substitute: " in summary
 
     # validation-protocol eval (reference eval.py -> _run_validation)
     h4 = mega_hparams(mega_dataset, tmp_path / "eval2")
@@ -139,8 +154,9 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     runner4 = Runner(h4)
     vmeans = runner4.eval()
     assert "val/psnr" in vmeans and np.isfinite(vmeans["val/psnr"])
-    assert "val/lpips-vgg-substitute" in vmeans
-    assert (runner4.experiment_path / "metrics.txt").exists()
+    assert "val/lpips/vgg-substitute" in vmeans
+    summary4 = (runner4.experiment_path / "metrics.txt").read_text()
+    assert "Average val/psnr: " in summary4
 
 
 def test_filesystem_dataset_chunks(mega_dataset, tmp_path):

@@ -17,6 +17,7 @@ Prints ONE JSON line {"metric": "tpu_cli_smoke", ...} and exits nonzero
 on any failure. Uses the shared compile cache so repeat runs are fast.
 """
 import json
+import math
 import os
 import subprocess
 import sys
@@ -161,9 +162,12 @@ def main() -> None:
         text = metrics[0].read_text()
         psnr = None
         for line in text.splitlines():
-            if line.lower().startswith("psnr"):
+            # exact key match — don't let psnr_mask/psnr_* variants shadow it
+            if line.split(":")[0].strip().lower() == "psnr":
                 psnr = float(line.split()[-1])
-        assert psnr is not None and psnr == psnr, f"no finite psnr:\n{text}"
+                break
+        assert psnr is not None and math.isfinite(psnr), \
+            f"no finite psnr:\n{text}"
 
     print(json.dumps({"metric": "tpu_cli_smoke", "train_steps": 20,
                       "resume_from": 10, "eval_psnr": round(psnr, 3),
