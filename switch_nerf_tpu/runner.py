@@ -859,7 +859,7 @@ class Runner:
                     batch = self._put_batch(np_batch)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-                res = eval_step(state.params, batch)
+                res = program(state.params, batch)
                 keep = bs - pad
                 for k, v in res.items():
                     if hasattr(v, "shape") and v.ndim >= 1 \
@@ -1183,14 +1183,11 @@ class Runner:
 
         Parity: eval_points.py -> _run_validation_points (runner.py:1871-2202)
         with --moe_return_gates --return_pts --return_pts_rgb
-        --return_pts_alpha; coarse samples only (the reference's supported
-        mode, render_test_points_typ=['coarse']).
+        --return_pts_alpha; --render_test_points_typ selects coarse and/or
+        fine sample positions (:2011). Multi-process runs are cooperative
+        SPMD (see _export_point_clouds).
         """
         assert self.hparams.use_moe, "eval_points requires a MoE model"
-        assert jax.process_count() == 1, (
-            "eval_points is a single-process offline tool (its point "
-            "program feeds process-local arrays, incompatible with "
-            "globally-sharded params); run it on one host")
         self.hparams.moe_return_gates = True
         # rebuild the model with gate returns enabled
         self.nerf = get_nerf(self.hparams, self.appearance_count)
@@ -1215,100 +1212,187 @@ class Runner:
 
         return self._export_point_clouds(state, ray_sources())
 
+    def _make_points_program(self):
+        """Jitted per-batch point-introspection program: evaluates the
+        model at the eval-protocol sample positions and returns, per
+        requested typ in --render_test_points_typ (reference
+        runner.py:2011/2145 iterates it; 'coarse' and 'fine' supported):
+        pts / pts_rgb / pts_alpha / composited rgb / moe gate indices.
+        Fine positions are the deterministic inverse-CDF resample of the
+        coarse weights, exactly as the eval render computes them
+        (rendering.py:606-637 analog in ops/volume.sample_pdf)."""
+        from switch_nerf_tpu.ops.volume import sample_pdf
+
+        h = self.hparams
+        model = self.nerf
+        typs = tuple(h.render_test_points_typ)
+        for t in typs:
+            if t not in ("coarse", "fine"):
+                raise ValueError(
+                    f"--render_test_points_typ {t!r} not in"
+                    " ('coarse', 'fine')")
+        if "fine" in typs and h.fine_samples <= 0:
+            raise ValueError("--render_test_points_typ fine requires"
+                             " fine_samples > 0")
+        s_coarse = h.coarse_samples
+        fine_n = h.fine_samples
+        use_gates = bool(h.use_moe)
+
+        def eval_at(params, z, d, image_indices, o):
+            bs, s = z.shape
+            xyz = o[:, None, :] + d[:, None, :] * z[..., None]
+            parts = [xyz.reshape(-1, 3)]
+            if h.use_mip:
+                # mip models take (mean, cov) — tiny fixed covariance
+                parts.append(jnp.full((bs * s, 3), 1e-6, jnp.float32))
+            if h.pos_dir_dim > 0:
+                parts.append(jnp.repeat(d, s, axis=0))
+            if h.appearance_dim > 0:
+                parts.append(jnp.repeat(
+                    image_indices.astype(jnp.float32), s)[:, None])
+            pts_in = jnp.concatenate(parts, -1).astype(jnp.float32)
+            out = model.apply({"params": params["nerf"]}, pts_in,
+                              deterministic=True)
+            res = out["outputs"].reshape(bs, s, -1)
+            rgb, sigma = res[..., :3], res[..., 3]
+            gates = None
+            if use_gates:
+                gates = jnp.stack(out["extras"]["moe_gates"],
+                                  axis=1)                    # [bs*s, L, K]
+                gates = gates.reshape(bs, s, *gates.shape[1:])
+            return xyz, rgb, sigma, gates
+
+        def alpha_weights(z, sigma):
+            deltas = jnp.concatenate(
+                [z[:, 1:] - z[:, :-1],
+                 jnp.full((z.shape[0], 1), 1e10, z.dtype)], -1)
+            alpha = 1.0 - jnp.exp(-deltas * sigma)
+            t = jnp.cumprod(jnp.concatenate(
+                [jnp.ones_like(alpha[:, :1]),
+                 1.0 - alpha[:, :-1] + 1e-10], -1), -1)
+            return alpha, alpha * t
+
+        def pack(out, typ, xyz, rgb, alpha, weights, gates):
+            out[f"pts_{typ}"] = xyz
+            out[f"pts_rgb_{typ}"] = rgb
+            out[f"pts_alpha_{typ}"] = alpha
+            out[f"rgb_{typ}"] = jnp.sum(weights[..., None] * rgb, axis=1)
+            if gates is not None:
+                out[f"moe_gates_{typ}"] = gates
+
+        def program(params, batch):
+            rays = batch["rays"]
+            img = batch["image_indices"]
+            o, d = rays[:, 0:3], rays[:, 3:6]
+            near, far = rays[:, 6:7], rays[:, 7:8]
+            z = near + (far - near) * jnp.linspace(
+                0.0, 1.0, s_coarse, dtype=jnp.float32)[None, :]
+            out: Dict[str, jnp.ndarray] = {}
+            xyz, rgb, sigma, gates = eval_at(params, z, d, img, o)
+            alpha, weights = alpha_weights(z, sigma)
+            if "coarse" in typs:
+                pack(out, "coarse", xyz, rgb, alpha, weights, gates)
+            if "fine" in typs:
+                z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+                fine_z = sample_pdf(z_mid, weights[:, 1:-1], fine_n,
+                                    det=True, rng=None)
+                xyz_f, rgb_f, sigma_f, gates_f = eval_at(
+                    params, fine_z, d, img, o)
+                alpha_f, weights_f = alpha_weights(fine_z, sigma_f)
+                pack(out, "fine", xyz_f, rgb_f, alpha_f, weights_f,
+                     gates_f)
+            return out
+        return jax.jit(program)
+
     def _export_point_clouds(self, state, ray_sources):
-        """Shared coarse-sample point-cloud exporter: per-point expert ids
-        from MoE gate returns -> all-points / per-expert / segmentation PLYs
-        (reference runner.py:1871-2202 and :2500-2797)."""
-        import jax
+        """Shared point-cloud exporter: per-point expert ids from MoE gate
+        returns -> all-points / per-expert / segmentation PLYs per typ
+        (reference runner.py:1871-2202 and :2500-2797; exact file-name
+        protocol incl. the top_{k}[_alpha][_exp_{e}] seg sets).
+
+        Multi-process: the point program runs cooperatively over the
+        global mesh exactly like eval rendering (every process feeds the
+        same rays, lockstep executions, outputs allgathered); only the
+        image's owner process writes its PLY files — the SPMD-correct
+        redesign of the reference's rank-strided loop (:1884-1900)."""
         from switch_nerf_tpu.utils.ply import write_ply_points
         from switch_nerf_tpu.utils.visualize import voc_palette
 
         h = self.hparams
-        model = self.nerf
-        s_coarse = h.coarse_samples
         skip = h.render_test_points_sample_skip
         base_dir = (self.experiment_path or Path(".")) / "eval_points"
-
-        @jax.jit
-        def point_fn(params, pts):
-            out = model.apply({"params": params["nerf"]}, pts,
-                              deterministic=True)
-            gates = jnp.stack(out["extras"]["moe_gates"], axis=1)  # [S,L,K]
-            return out["outputs"], gates
+        run_chunks = self._batched_collective_fn(
+            self._make_points_program(), state)
 
         written = []
         for i, (rays, image_index) in enumerate(ray_sources):
-            all_pts, all_rgb, all_alpha, all_gates = [], [], [], []
-            bs = h.image_pixel_batch_size
-            for lo in range(0, rays.shape[0], bs):
-                r = rays[lo:lo + bs]
-                n = r.shape[0]
-                pad = bs - n
-                if pad:
-                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
-                o, d = r[:, 0:3], r[:, 3:6]
-                near, far = r[:, 6:7], r[:, 7:8]
-                z = near + (far - near) * np.linspace(
-                    0.0, 1.0, s_coarse, dtype=np.float32)[None, :]
-                xyz = o[:, None, :] + d[:, None, :] * z[..., None]
-                parts = [xyz.reshape(-1, 3)]
-                if h.use_mip:
-                    # mip models take (mean, cov) — tiny fixed covariance
-                    parts.append(np.full((bs * s_coarse, 3), 1e-6,
-                                         np.float32))
-                if h.pos_dir_dim > 0:
-                    parts.append(np.repeat(d, s_coarse, axis=0))
-                if h.appearance_dim > 0:
-                    parts.append(np.full((bs * s_coarse, 1), image_index,
-                                         np.float32))
-                pts = np.concatenate(parts, -1).astype(np.float32)
-
-                out, gates = point_fn(state.params, jnp.asarray(pts))
-                out = np.asarray(out).reshape(bs, s_coarse, -1)
-                gates = np.asarray(gates).reshape(bs, s_coarse,
-                                                  *gates.shape[1:])
-                rgb, sigma = out[..., :3], out[..., 3]
-                deltas = np.concatenate(
-                    [z[:, 1:] - z[:, :-1],
-                     1e10 * np.ones((bs, 1), np.float32)], -1)
-                alpha = 1.0 - np.exp(-deltas * sigma)
-
-                sl = slice(None, None, skip)
-                all_pts.append(xyz[:n, sl].reshape(-1, 3))
-                all_rgb.append(rgb[:n, sl].reshape(-1, 3))
-                all_alpha.append(alpha[:n, sl].reshape(-1))
-                all_gates.append(
-                    gates[:n, sl, :, :].reshape(-1, *gates.shape[2:]))
-
-            pts = np.concatenate(all_pts)
-            rgb = np.clip(np.concatenate(all_rgb), 0, 1)
-            alpha = np.clip(np.concatenate(all_alpha), 0, 1)
-            gates = np.concatenate(all_gates)      # [P, L, K]
-            rgba = (np.concatenate([rgb, alpha[:, None]], -1)
-                    * 255).astype(np.uint8)
-
+            out = run_chunks(rays, float(image_index))
+            if not self._owns_val_image(i):
+                continue
             out_dir = base_dir / str(i)
             out_dir.mkdir(parents=True, exist_ok=True)
-            write_ply_points(out_dir / f"{i:03d}_coarse_pts_rgba.ply",
-                             pts, rgba)
-            written.append(out_dir / f"{i:03d}_coarse_pts_rgba.ply")
-            palette = voc_palette()
-            for tmp_k in range(gates.shape[-1]):
-                idx_k = gates[:, 0, tmp_k]         # first moe layer
-                for expert_id in range(h.moe_expert_num):
-                    sel = idx_k == expert_id
-                    name = (f"{i:03d}_coarse_pts_rgba_top_{tmp_k}"
-                            f"_exp_{expert_id}.ply")
-                    write_ply_points(out_dir / name, pts[sel], rgba[sel])
-                    written.append(out_dir / name)
-                if tmp_k == 0 and h.return_pts_class_seg:
-                    seg = palette[idx_k.astype(np.int64) % 256]
-                    seg_rgba = np.concatenate(
-                        [seg, (alpha[:, None] * 255).astype(np.uint8)], -1)
-                    write_ply_points(
-                        out_dir / f"{i:03d}_coarse_pts_seg.ply",
-                        pts, seg_rgba)
-            main_log(f"eval_points image {i}: {pts.shape[0]} points")
+
+            def _write(name, xyz, colors, sel=None):
+                if sel is not None:
+                    xyz, colors = xyz[sel], colors[sel]
+                write_ply_points(out_dir / name, xyz, colors)
+                written.append(out_dir / name)
+
+            for typ in h.render_test_points_typ:
+                sl = slice(None, None, skip)
+                pts = out[f"pts_{typ}"][:, sl]            # [N, S', 3]
+                rgb = np.clip(out[f"pts_rgb_{typ}"][:, sl], 0, 1)
+                alpha = np.clip(out[f"pts_alpha_{typ}"][:, sl], 0, 1)
+                n_rays, s_kept = pts.shape[:2]
+                flat_pts = pts.reshape(-1, 3)
+                rgba = (np.concatenate([rgb, alpha[..., None]], -1)
+                        * 255).astype(np.uint8).reshape(-1, 4)
+                _write(f"{i:03d}_{typ}_pts_rgba.ply", flat_pts, rgba)
+                if f"moe_gates_{typ}" not in out:
+                    continue                 # dense model: all-points only
+                # layer 0 gate slots (reference takes moe_gates[..., 0],
+                # runner.py:2025): [N, S', K]
+                moe_index = out[f"moe_gates_{typ}"][:, sl, 0, :]
+                for tmp_k in range(moe_index.shape[-1]):
+                    idx_k = moe_index[..., tmp_k].reshape(-1)
+                    for expert_id in range(h.moe_expert_num):
+                        _write(f"{i:03d}_{typ}_pts_rgba_top_{tmp_k}"
+                               f"_exp_{expert_id}.ply", flat_pts, rgba,
+                               sel=idx_k == expert_id)
+                if not h.return_pts_class_seg:
+                    continue
+                # expert-id segmentation clouds (reference :2169-2255):
+                # palette rows 1.. (row 0 = background is skipped there),
+                # an _alpha variant carrying pts_alpha, and a plain-RGB
+                # variant whose LAST sample is painted with the ray's
+                # composited render color
+                palette = voc_palette()[1:]
+                render_rgb_u8 = (np.clip(out[f"rgb_{typ}"], 0, 1)
+                                 * 255).astype(np.uint8)
+                for tmp_k in range(moe_index.shape[-1]):
+                    idx_k3 = moe_index[..., tmp_k]        # [N, S']
+                    seg = palette[idx_k3.astype(np.int64) % palette.shape[0]]
+                    idx_flat = idx_k3.reshape(-1)
+                    seg_a = np.concatenate(
+                        [seg.reshape(-1, 3),
+                         (alpha.reshape(-1, 1) * 255).astype(np.uint8)], -1)
+                    _write(f"{i:03d}_{typ}_top_{tmp_k}_alpha.ply",
+                           flat_pts, seg_a)
+                    for expert_id in range(h.moe_expert_num):
+                        _write(f"{i:03d}_{typ}_top_{tmp_k}_alpha"
+                               f"_exp_{expert_id}.ply", flat_pts, seg_a,
+                               sel=idx_flat == expert_id)
+                    seg_p = seg.copy()
+                    seg_p[:, -1, :] = render_rgb_u8
+                    seg_p = seg_p.reshape(-1, 3)
+                    _write(f"{i:03d}_{typ}_top_{tmp_k}.ply",
+                           flat_pts, seg_p)
+                    for expert_id in range(h.moe_expert_num):
+                        _write(f"{i:03d}_{typ}_top_{tmp_k}"
+                               f"_exp_{expert_id}.ply", flat_pts, seg_p,
+                               sel=idx_flat == expert_id)
+                main_log(f"eval_points image {i} [{typ}]: "
+                         f"{flat_pts.shape[0]} points")
         return written
 
     @staticmethod
@@ -1435,9 +1519,6 @@ class Runner:
         exporter over the in-memory NeRFDataset val split."""
         assert self.hparams.use_moe
         assert self.data_type == "nerf"
-        assert jax.process_count() == 1, (
-            "eval_points_nerf is a single-process offline tool "
-            "(see eval_points)")
         self.hparams.moe_return_gates = True
         self.nerf = get_nerf(self.hparams, self.appearance_count)
         state = self._load_eval_state()

@@ -89,6 +89,41 @@ def main() -> None:
     shim.mesh = mesh
     shim.batch_shard = batch_sharding(mesh)
 
+    if mode == "points":
+        # cooperative multi-process eval_points: every process runs the
+        # SAME lockstep point program over the global mesh; each image's
+        # owner writes its PLYs into the shared dir. The test compares
+        # the resulting files byte-for-byte against a 1-process run.
+        from pathlib import Path
+        h.render_test_points_typ = ["coarse", "fine"]
+        h.render_test_points_sample_skip = 2
+        h.return_pts_class_seg = True
+        h.moe_return_gates = True
+        h.image_pixel_batch_size = 32
+        shim.hparams = h
+        shim.nerf = get_nerf(h, 8)   # same params, + gate returns
+        shim.experiment_path = Path(ckpt_dir)
+        shim._owns_val_image = Runner._owns_val_image
+        shim._make_points_program = Runner._make_points_program.__get__(shim)
+        shim._batched_collective_fn = \
+            Runner._batched_collective_fn.__get__(shim)
+        shim._export_point_clouds = Runner._export_point_clouds.__get__(shim)
+
+        def ray_sources():
+            for i in range(2):
+                rays = np.asarray(_make_batch(h, 40, seed=50 + i)["rays"],
+                                  np.float32)
+                yield rays, float(i)
+
+        written = shim._export_point_clouds(state, ray_sources())
+        Runner._host_barrier("points_done")
+        from switch_nerf_tpu.utils.meters import allgather_json
+        counts = allgather_json({"n": len(written)})
+        if pid == 0:
+            total = sum(d["n"] for d in counts)
+            print("RESULT " + json.dumps({"points_total": total}))
+        return
+
     cfg = render_config_from_hparams(h)
     step_fn = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                       donate_argnums=0)

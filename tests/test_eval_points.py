@@ -143,13 +143,16 @@ def test_eval_points_and_merge(tmp_path):
 
     h2 = hp("points")
     h2.ckpt_path = str(ckpt)
+    h2.render_test_points_typ = ["coarse", "fine"]   # reference :2011 loop
     runner2 = Runner(h2)
     written = runner2.eval_points()
     assert written, "no PLY files written"
-    # all-points + 4 experts + seg
     names = {p.name for p in written}
     assert "000_coarse_pts_rgba.ply" in names
     assert "000_coarse_pts_rgba_top_0_exp_0.ply" in names
+    # fine typ exported too (--render_test_points_typ fine, ref :2011)
+    assert "000_fine_pts_rgba.ply" in names
+    assert "000_fine_pts_rgba_top_0_exp_3.ply" in names
 
     all_ply = next(p for p in written
                    if p.name == "000_coarse_pts_rgba.ply")
@@ -158,6 +161,8 @@ def test_eval_points_and_merge(tmp_path):
     # (H/4)*(W/4) rays x ceil(4/2) samples
     vi = runner2.val_items[0]
     assert xyz.shape[0] == vi.H * vi.W * 2
+    xyz_f, _ = read_ply_points(all_ply.parent / "000_fine_pts_rgba.ply")
+    assert xyz_f.shape[0] == vi.H * vi.W * 2        # fine_samples=4, skip 2
     # expert clouds partition the all-points cloud
     total = 0
     for e in range(4):
@@ -165,8 +170,23 @@ def test_eval_points_and_merge(tmp_path):
             all_ply.parent / f"000_coarse_pts_rgba_top_0_exp_{e}.ply")
         total += x_e.shape[0]
     assert total == xyz.shape[0]
-    # seg cloud exists (return_pts_class_seg)
-    assert (all_ply.parent / "000_coarse_pts_seg.ply").exists()
+    # seg clouds (return_pts_class_seg; reference :2169-2255 name set):
+    # the _alpha variant is RGBA; the plain variant is RGB-only with the
+    # last sample painted in the ray's composited render color
+    seg_a_xyz, seg_a_col = read_ply_points(
+        all_ply.parent / "000_coarse_top_0_alpha.ply")
+    assert seg_a_col.shape[1] == 4 and seg_a_xyz.shape[0] == xyz.shape[0]
+    seg_xyz, seg_col = read_ply_points(
+        all_ply.parent / "000_coarse_top_0.ply")
+    assert seg_col.shape[1] == 3 and seg_xyz.shape[0] == xyz.shape[0]
+    assert (all_ply.parent / "000_coarse_top_0_alpha_exp_1.ply").exists()
+    assert (all_ply.parent / "000_coarse_top_0_exp_1.ply").exists()
+    # seg colors come from palette rows 1.. (row 0 = background skipped,
+    # reference :2170) — with alpha-variant rows matching the expert split
+    from switch_nerf_tpu.utils.visualize import voc_palette
+    pal = voc_palette()[1:5]
+    assert all(tuple(c[:3]) in {tuple(p) for p in pal}
+               for c in seg_a_col[:64])
 
     # merge script (reference CLI semantics: expert_num > 0 merges one
     # PLY per expert named {typ}_pts_rgba_exp_{e}.ply; expert_num == 0

@@ -197,3 +197,21 @@ def test_cli_help_skips_multihost_bootstrap(tmp_path):
     assert proc.returncode == 0, proc.stdout[-2000:]
     assert "HELP_OK" in proc.stdout
     assert "usage" in proc.stdout.lower()
+
+
+@pytest.mark.slow
+def test_multi_process_eval_points_identical(tmp_path):
+    """Multi-process eval_points (round-3 verdict item 6): the cooperative
+    SPMD point program must produce BYTE-IDENTICAL PLY files from a
+    2-process run (strided owner writes) and a single-process run — same
+    global 8-device mesh, so per-device programs and collective orders
+    are identical."""
+    d1, d2 = tmp_path / "p1", tmp_path / "p2"
+    r1 = _run_workers(1, d1, mode="points")
+    r2 = _run_workers(2, d2, mode="points")
+    assert r1["points_total"] == r2["points_total"] > 0
+    f1 = sorted(p.relative_to(d1) for p in d1.rglob("*.ply"))
+    f2 = sorted(p.relative_to(d2) for p in d2.rglob("*.ply"))
+    assert f1 == f2 and f1, (f1, f2)
+    for rel in f1:
+        assert (d1 / rel).read_bytes() == (d2 / rel).read_bytes(), rel
