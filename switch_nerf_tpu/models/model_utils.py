@@ -34,6 +34,33 @@ def _compute_dtype(hparams) -> jnp.dtype:
     return jnp.float32
 
 
+_APPLY_FN_TO_DISPATCH = {
+    # the reference selects the gate's dispatch strategy METHOD by name
+    # (--apply_on_expert_fn_name, opts.py:258-259; resolved at
+    # tutel_moe_layer_nobatch.py:768-770). The three strategies map onto
+    # our two dispatch formulations; the pure-torch mask loop is
+    # numerically identical to the nobatch path (it exists there as a
+    # kernel-free oracle), so it selects nodrop here.
+    "apply_on_expert_fn": "padded",
+    "apply_on_expert_fn_nobatch": "nodrop",
+    "apply_on_expert_fn_nobatch_torch": "nodrop",
+}
+
+
+def _dispatch_mode(hparams, batch_flag: bool) -> str:
+    """Dispatch mode for one phase: --apply_on_expert_fn_name (when set)
+    overrides the moe_{train,test}_batch-derived choice, exactly like the
+    reference's forward-time strategy override."""
+    name = getattr(hparams, "apply_on_expert_fn_name", None)
+    if name is not None:
+        if name not in _APPLY_FN_TO_DISPATCH:
+            raise ValueError(
+                f"--apply_on_expert_fn_name {name!r} unknown; expected one"
+                f" of {sorted(_APPLY_FN_TO_DISPATCH)}")
+        return _APPLY_FN_TO_DISPATCH[name]
+    return "padded" if batch_flag else "nodrop"
+
+
 def get_nerf_moe_inner(hparams, appearance_count: int, xyz_dim: int = 3,
                        model_cfg_name: str = "model") -> nn.Module:
     """NeRFMoE/MipNeRFMoE from the YAML layer-graph dict
@@ -70,8 +97,8 @@ def get_nerf_moe_inner(hparams, appearance_count: int, xyz_dim: int = 3,
         moe_use_residual=hparams.moe_use_residual,
         moe_return_gates=hparams.moe_return_gates,
         moe_return_gate_logits=hparams.moe_return_gate_logits,
-        train_dispatch="padded" if hparams.moe_train_batch else "nodrop",
-        eval_dispatch="padded" if hparams.moe_test_batch else "nodrop",
+        train_dispatch=_dispatch_mode(hparams, hparams.moe_train_batch),
+        eval_dispatch=_dispatch_mode(hparams, hparams.moe_test_batch),
         moe_expert_type=getattr(hparams, "moe_expert_type", "expertmlp"),
         sigma_fp32=not getattr(hparams, "amp_use_bfloat16", False),
         compute_dtype=_compute_dtype(hparams),

