@@ -166,15 +166,16 @@ def main():
     # model-FLOPs MFU (round-3 verdict weak item 3: publish executed-FLOPs
     # utilisation too). Falls back silently if the remote-compile client
     # doesn't expose cost analysis.
-    xla_flops = None
-    try:
-        compiled = step.lower(state, batch).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        if ca and "flops" in ca:
-            xla_flops = float(ca["flops"])
-    except Exception:
-        pass
+    # NOTE on executed FLOPs: XLA's compiled cost_analysis cannot supply
+    # them for this program — it counts a lax.scan body ONCE, not
+    # x trip-count (measured: 0.357 TF on both axon and CPU vs 6.5 TF
+    # analytic; the chunk scans run 16-48 trips). tests/test_trainer.py's
+    # band test agrees with the analytic count only because its tiny
+    # config runs a single trip. So the executed figure below is
+    # ANALYTIC: model FLOPs x 4/3 — the named-save remat policy
+    # (moe_plan / moe_dispatched / pe_out) keeps MEMORY, not FLOPs; the
+    # backward recomputes one full forward (measured in the r2 roofline:
+    # GEMM time share matches ~4x-fwd accounting at ~86% MXU efficiency).
 
     # compile + warmup; float() forces a true device sync (block_until_ready
     # through the remote-execution tunnel returns at submission time)
@@ -203,13 +204,14 @@ def main():
         # excluded, so actual hardware utilisation is higher)
         "mfu": round(model_flops / dt / V5E_BF16_PEAK_FLOPS, 4),
         "model_tflops_per_step": round(model_flops / 1e12, 3),
-        # executed-FLOPs utilisation from XLA's cost analysis of the
-        # compiled program (INCLUDES remat recompute; XLA's own dot cost
-        # model) — the honest hardware-utilisation companion to mfu
-        "executed_util": (round(xla_flops / dt / V5E_BF16_PEAK_FLOPS, 4)
-                          if xla_flops else None),
-        "executed_tflops_per_step": (round(xla_flops / 1e12, 3)
-                                     if xla_flops else None),
+        # executed-FLOPs utilisation: analytic model FLOPs + one full
+        # forward of remat recompute (see the NOTE in main() for why
+        # XLA's cost analysis cannot measure this program) — the honest
+        # hardware-utilisation companion to mfu
+        "executed_util": round(model_flops * 4.0 / 3.0 / dt
+                               / V5E_BF16_PEAK_FLOPS, 4),
+        "executed_tflops_per_step": round(model_flops * 4.0 / 3.0 / 1e12,
+                                          3),
     }))
 
 

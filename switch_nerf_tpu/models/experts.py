@@ -91,6 +91,17 @@ class ExpertMLP(nn.Module):
             h, xin = self._skip_act(layer_id, h, xin)
         return h
 
+    def fused_dispatch(self, tokens_ext, stt_eff, slot, kept):
+        """Fused form: dispatch gather folded into the chain kernel
+        (ops/fused_dispatch; top-1 padded mode) — equivalent to
+        `self(dispatch(tokens))` without the HBM dispatch buffer."""
+        from switch_nerf_tpu.ops.fused_dispatch import fused_dispatch_chain
+        dt = tokens_ext.dtype
+        ws = jnp.stack([w.astype(dt) for w in self.ws])     # [L, E, M, M]
+        bs = jnp.stack([b.astype(dt) for b in self.bs])     # [L, E, 1, M]
+        return fused_dispatch_chain(tokens_ext, stt_eff, ws, bs,
+                                    slot, kept, tuple(self.skips or ()))
+
 
 class FusedFFNExperts(nn.Module):
     """Tutel-style 2-layer fused FFN experts (moe_expert_type='ffn').

