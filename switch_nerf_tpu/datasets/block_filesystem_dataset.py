@@ -261,6 +261,13 @@ class BlockFilesystemDataset:
     # ----------------------------------------------------------- writing --
     def _write_chunks(self, num_chunks: int, disk_flush_size: int,
                       scale_factor: int):
+        # single-writer by design (unlike FilesystemDataset._write_chunks'
+        # cooperative scheme): the cost here is tfrecord DECODE, and the
+        # identical-rng-stream requirement would force every process to
+        # decode every record anyway — no speedup to be had without
+        # changing the on-disk rng contract. The reference's local-master
+        # parallelism (runner.py:520-541) likewise covers the mega
+        # dataset only.
         # pre-manifest chunk dirs are interrupted-write leftovers: remove
         import shutil
         for stale in self._chunk_dir.glob("chunk_*"):
