@@ -94,6 +94,19 @@ def test_blender_train_eval_points(blender_scene, tmp_path):
     runner2 = Runner(h2)
     means = runner2.eval_nerf()
     assert "psnr" in means and np.isfinite(means["psnr"])
+    # reference file protocol (runner.py:2337-2366): the offline CLI
+    # evaluates the TEST split into {mode}_images_{train_index} with
+    # per-image metrics files incl. lpips/time/memory, plus the
+    # persisted triptych
+    out_dir = runner2.experiment_path / "test_images_0"
+    for i in range(len(runner2.test_set)):
+        fields = {
+            line.split(":")[0] for line in
+            (out_dir / f"metrics_{i}.txt").read_text().splitlines() if line}
+        assert {"psnr", "ssim", "time", "memory"} <= fields
+        assert any(f.startswith("lpips-") for f in fields)
+        assert (runner2.experiment_path / "val_images" / f"{i}.jpg").exists()
+    assert not (runner2.experiment_path / "val_images_0").exists()
 
     h3 = nerf_hparams(blender_scene, tmp_path / "pts")
     h3.ckpt_path = str(ckpt)

@@ -78,6 +78,7 @@ def test_mega_train_ckpt_resume_eval(mega_dataset, tmp_path):
     h = mega_hparams(mega_dataset, tmp_path)
     h.profile_trace_step = 1          # 3-step device trace mid-training
     h.compute_memory = True           # train-window memory (ref :596-597)
+    h.val_interval = 6                # in-train TB-protocol validation fires
     runner = Runner(h)
     assert runner.pose_scale_factor == 10.0
     assert runner.near == pytest.approx(0.05)
