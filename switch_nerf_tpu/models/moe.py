@@ -163,7 +163,6 @@ class MoELayer(nn.Module):
         return y, l_aux, extras
 
     def _padded_path(self, x, plan, experts):
-        import os
         e, m = self.num_experts, self.model_dim
         dp = build_dispatch_plan(plan, e)
 
