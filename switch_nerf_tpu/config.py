@@ -82,6 +82,8 @@ def get_opts_base() -> argparse.ArgumentParser:
                         "(defaults to model_chunk_size; larger is usually "
                         "faster since the bg model has no routing)")
     p.add_argument("--perturb", type=float, default=1.0)
+    # inert in the reference too (only --sigma_noise_std is read,
+    # rendering.py:326) — identical inertness is the parity
     p.add_argument("--noise_std", type=float, default=1.0)
 
     # optimisation
@@ -179,6 +181,8 @@ def get_opts_base() -> argparse.ArgumentParser:
                    default="switch_nerf_tpu/datasets/lists/block_nerf_val.txt")
     p.add_argument("--block_image_hash_id_map_path", type=str,
                    default="switch_nerf_tpu/datasets/lists/block_nerf_id_map.json")
+    # inert in the reference too (the runner plumbs --shuffle_chunk
+    # only, runner.py:525-530)
     p.add_argument("--shuffle_tfrecord", action="store_true", default=True)
 
     p.add_argument("--amp_use_bfloat16", action="store_true", default=False)
@@ -248,6 +252,7 @@ def get_opts_nerf() -> argparse.ArgumentParser:
                             "bungee", "LINEMOD", "deepvoxels"])
     p.add_argument("--exp_name", type=str, required=True)
     p.add_argument("--dataset_path", type=str, required=True)
+    # inert in the reference too (parsed at opts_nerf.py:25, never read)
     p.add_argument("--grid_id", type=int, default=None)
     p.add_argument("--shape", type=str, default="cube",
                    help="deepvoxels scene name")

@@ -199,6 +199,32 @@ class Runner:
                      "reference's expertmlp2seqexperts checkpoint reshape, "
                      "which is unnecessary by design here; ignored.")
 
+        # DDP/DataLoader plumbing flags with no analog in this runtime:
+        # find_unused_parameters configures torch DDP's graph walk
+        # (reference runner.py:205-218) — SPMD jit has no parameter
+        # registry to walk; data_loader_num_workers sizes DataLoader
+        # worker pools (:576-578) — the chunk datasets prefetch on their
+        # own thread; set_timeout stretches the NCCL timeout to 1 day for
+        # long Block-NeRF evals (:259-263) — XLA collectives carry no
+        # user timeout, and the blocknerf eval is resumable instead
+        # (triptych markers). Non-default values note once.
+        if getattr(h, "find_unused_parameters", False):
+            main_log("NOTE: --find_unused_parameters configures torch DDP "
+                     "only; no analog under SPMD jit, ignored.")
+        if getattr(h, "data_loader_num_workers", 1) != 1:
+            main_log("NOTE: --data_loader_num_workers sizes the torch "
+                     "DataLoader pool; the chunk datasets here prefetch "
+                     "on a dedicated thread, flag ignored.")
+        if getattr(h, "set_timeout", False):
+            main_log("NOTE: --set_timeout stretches the reference's NCCL "
+                     "timeout for long evals; XLA collectives have no "
+                     "user timeout and eval resumes from its per-image "
+                     "markers instead, flag ignored.")
+        # --noise_std, --grid_id and --shuffle_tfrecord parse but are
+        # never read in the REFERENCE either (its live knobs are
+        # --sigma_noise_std and --shuffle_chunk) — identical inertness
+        # IS the parity, so no note.
+
         # eval dispatch default (round-3 verdict weak item 7): the
         # reference's published eval commands all pass --moe_test_batch
         # (padded dispatch, ~1.5x faster); its ABSENCE selects the nodrop

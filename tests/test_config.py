@@ -187,6 +187,9 @@ def test_flag_semantics_audit():
     audit(moe_layer_ids=["0", "2"])
     audit(expertmlp2seqexperts=True)
     audit(use_moe=True)                      # nodrop eval-default note
+    audit(find_unused_parameters=True)       # torch-DDP plumbing note
+    audit(data_loader_num_workers=4)         # DataLoader plumbing note
+    audit(set_timeout=True)                  # NCCL-timeout plumbing note
 
     # --apply_on_expert_fn_name -> dispatch-mode override (reference
     # opts.py:258-259 / tutel_moe_layer_nobatch.py:768-770)
