@@ -254,6 +254,44 @@ def _dump(side, iters, trace):
          "l_aux_wt": L_AUX_WT, **trace}, indent=1))
 
 
+def compare(iters: int):
+    """Collapse verdict from both curves: the signature is the gate loss
+    leaving its plateau (r3 TPU observation: 1.09 -> 3.09 at ~9.5k).
+    A side 'collapses' when its gate loss after warmup exceeds
+    plateau_median + 10 * plateau_MAD (the plateau is steps 2k..6k) and
+    stays above it for >= 3 consecutive samples."""
+    out = {}
+    for side in ("jax", "torch"):
+        f = pathlib.Path(__file__).parent / f"collapse_{side}_{iters}.json"
+        d = json.loads(f.read_text())
+        step = np.asarray(d["step"])
+        gate = np.asarray(d["gate"])
+        psnr = np.asarray(d["psnr"])
+        plat = gate[(step >= 2000) & (step <= 6000)]
+        med = float(np.median(plat))
+        mad = float(np.median(np.abs(plat - med))) or 1e-6
+        thr = med + 10 * mad
+        above = (gate > thr) & (step > 6000)
+        runlen = 0
+        collapse_step = None
+        for s, a in zip(step, above):
+            runlen = runlen + 1 if a else 0
+            if runlen >= 3 and collapse_step is None:
+                collapse_step = int(s)
+        out[side] = {
+            "steps_done": int(step[-1]),
+            "gate_plateau_median": round(med, 4),
+            "gate_threshold": round(thr, 4),
+            "gate_max_after_6k": round(float(gate[step > 6000].max()), 4)
+            if (step > 6000).any() else None,
+            "collapse_step": collapse_step,
+            "final_psnr_median_last10": round(
+                float(np.median(psnr[-10:])), 2),
+        }
+    print(json.dumps(out, indent=1))
+    return out
+
+
 def main():
     side, iters = "jax", 16000
     for a in sys.argv[1:]:
@@ -261,6 +299,9 @@ def main():
             side = a.split("=")[1]
         if a.startswith("--iters="):
             iters = int(a.split("=")[1])
+    if "--compare" in sys.argv[1:]:
+        compare(iters)
+        return
     trace = run_jax(iters) if side == "jax" else run_torch(iters)
     _dump(side, iters, trace)
     print(f"wrote collapse_{side}_{iters}.json")
