@@ -182,12 +182,22 @@ def run_torch(iters: int):
     return trace
 
 
-def run_jax(iters: int):
+def run_jax(iters: int, platform: str = "cpu", label: str = "jax"):
+    """platform='tpu' runs the SAME experiment (same init, same batch
+    stream) on the real chip — the backend-numerics A/B against the CPU
+    curve: the r3 collapse was observed on TPU (convergence_check --mip
+    --iters=16000), so if the TPU side collapses where CPU does not, the
+    collapse is numerics-noise-sensitive recipe dynamics, not logic."""
     import os
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=1")
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1")
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
     import jax.numpy as jnp
     import json as _json
     from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
@@ -237,8 +247,9 @@ def run_jax(iters: int):
             trace["photo"].append(float(m["photo_loss"]))
             trace["gate"].append(float(m["gate_loss"]))
             trace["psnr"].append(float(m["psnr"]))
-            _dump("jax", iters, trace)
-            print(f"[jax {it}/{iters}] photo={float(m['photo_loss']):.5f} "
+            _dump(label, iters, trace)
+            print(f"[{label} {it}/{iters}] "
+                  f"photo={float(m['photo_loss']):.5f} "
                   f"gate={float(m['gate_loss']):.3f} "
                   f"psnr={float(m['psnr']):.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -293,18 +304,25 @@ def compare(iters: int):
 
 
 def main():
-    side, iters = "jax", 16000
+    side, iters, platform = "jax", 16000, "cpu"
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = a.split("=")[1]
         if a.startswith("--iters="):
             iters = int(a.split("=")[1])
+        if a.startswith("--platform="):
+            platform = a.split("=")[1]
     if "--compare" in sys.argv[1:]:
         compare(iters)
         return
-    trace = run_jax(iters) if side == "jax" else run_torch(iters)
-    _dump(side, iters, trace)
-    print(f"wrote collapse_{side}_{iters}.json")
+    if side == "jax":
+        label = "jax" if platform == "cpu" else f"jax_{platform}"
+        trace = run_jax(iters, platform=platform, label=label)
+    else:
+        label = side
+        trace = run_torch(iters)
+    _dump(label, iters, trace)
+    print(f"wrote collapse_{label}_{iters}.json")
 
 
 if __name__ == "__main__":
