@@ -182,14 +182,25 @@ def run_torch(iters: int):
     return trace
 
 
-def run_jax(iters: int, platform: str = "cpu", label: str = "jax"):
+def run_jax(iters: int, platform: str = "cpu", label: str = "jax",
+            variant: dict | None = None):
     """platform='tpu' runs the SAME experiment (same init, same batch
     stream) on the real chip — the backend-numerics A/B against the CPU
     curve: the r3 collapse was observed on TPU (convergence_check --mip
     --iters=16000), so if the TPU side collapses where CPU does not, the
-    collapse is numerics-noise-sensitive recipe dynamics, not logic."""
+    collapse is numerics-noise-sensitive recipe dynamics, not logic.
+
+    variant: bisect knobs stepping this config toward the ORIGINAL
+    collapsing recipe (tools/convergence_check.py run_mip at iters=16000),
+    one ingredient at a time: {'amp': bool (bf16 compute),
+    'perturb': float (stochastic z sampling), 'batch': int,
+    'samples': int, 'init': 'torch'|'flax', 'dispatch':
+    'nodrop'|'padded' (padded = capacity-1.0 BPR token drops, the
+    original's moe_train_batch=True path)}."""
     import os
     import jax
+    v = {"amp": False, "perturb": 0.0, "batch": BATCH, "samples": SAMPLES,
+         "init": "torch", "dispatch": "nodrop", **(variant or {})}
     if platform == "cpu":
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -208,26 +219,36 @@ def run_jax(iters: int, platform: str = "cpu", label: str = "jax"):
                                          make_train_step,
                                          render_config_from_hparams)
 
-    sd = _torch_init_sd()
-    h = parse_args(get_opts(), [
+    argv = [
         "--exp_name", "collapse", "--dataset_path", "unused",
         "--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
         "--batch_prioritized_routing", "--moe_expert_num", str(EXPERTS),
         "--no_bg_nerf", "--pos_xyz_dim", str(XYZ_DIM),
         "--pos_dir_dim", str(DIR_DIM), "--appearance_dim", "0",
-        "--no_amp", "--perturb", "0.0",
-        "--coarse_samples", str(SAMPLES), "--fine_samples", str(SAMPLES),
+        "--perturb", str(v["perturb"]),
+        "--coarse_samples", str(v["samples"]),
+        "--fine_samples", str(v["samples"]),
         "--model_chunk_size", "16384", "--lr", str(LR),
         "--lr_decay_factor", "0.1", "--train_iterations", str(iters),
         "--moe_l_aux_wt", str(L_AUX_WT),
         "--use_mip", "--nerfmoe_class_name", "MipNeRFMoE",
-        "--model", _json.dumps(_graph())])
+        "--model", _json.dumps(_graph())]
+    if not v["amp"]:
+        argv.append("--no_amp")
+    h = parse_args(get_opts(), argv)
+    if v["dispatch"] == "padded":
+        h.moe_train_batch = True
+        h.moe_test_batch = True
+        h.moe_capacity_factor = 1.0
     model = get_nerf(h, appearance_count=1)
     state = create_train_state(jax.random.PRNGKey(0), h, model, None)
-    params = {"nerf": jax.tree_util.tree_map(
-        jnp.asarray, unflatten(convert_nerf_moe_state_dict(
-            {k: v.numpy() for k, v in sd.items()})))}
-    state = state.replace(params=params, opt_state=state.tx.init(params))
+    if v["init"] == "torch":
+        sd = _torch_init_sd()
+        params = {"nerf": jax.tree_util.tree_map(
+            jnp.asarray, unflatten(convert_nerf_moe_state_dict(
+                {k: v2.numpy() for k, v2 in sd.items()})))}
+        state = state.replace(params=params,
+                              opt_state=state.tx.init(params))
     step_fn = jax.jit(make_train_step(
         model, None, h, render_config_from_hparams(h), SceneInfo(),
         mip=True), donate_argnums=0)
@@ -237,7 +258,7 @@ def run_jax(iters: int, platform: str = "cpu", label: str = "jax"):
     trace = {"step": [], "photo": [], "gate": [], "psnr": []}
     t0 = time.time()
     for it in range(1, iters + 1):
-        idx = rng.integers(0, rays.shape[0], BATCH)
+        idx = rng.integers(0, rays.shape[0], v["batch"])
         batch = {"rays": jnp.asarray(rays[idx]),
                  "rgbs": jnp.asarray(gts[idx]),
                  "radii": jnp.asarray(radii[idx])}
@@ -305,6 +326,7 @@ def compare(iters: int):
 
 def main():
     side, iters, platform = "jax", 16000, "cpu"
+    variant: dict = {}
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = a.split("=")[1]
@@ -312,12 +334,27 @@ def main():
             iters = int(a.split("=")[1])
         if a.startswith("--platform="):
             platform = a.split("=")[1]
+        if a == "--amp":
+            variant["amp"] = True
+        if a.startswith("--perturb="):
+            variant["perturb"] = float(a.split("=")[1])
+        if a.startswith("--batch="):
+            variant["batch"] = int(a.split("=")[1])
+        if a.startswith("--samples="):
+            variant["samples"] = int(a.split("=")[1])
+        if a.startswith("--init="):
+            variant["init"] = a.split("=")[1]
+        if a.startswith("--dispatch="):
+            variant["dispatch"] = a.split("=")[1]
     if "--compare" in sys.argv[1:]:
         compare(iters)
         return
     if side == "jax":
         label = "jax" if platform == "cpu" else f"jax_{platform}"
-        trace = run_jax(iters, platform=platform, label=label)
+        for k in sorted(variant):
+            label += f"_{k}-{variant[k]}"
+        trace = run_jax(iters, platform=platform, label=label,
+                        variant=variant)
     else:
         label = side
         trace = run_torch(iters)
