@@ -287,14 +287,22 @@ def _dump(side, iters, trace):
 
 
 def compare(iters: int):
-    """Collapse verdict from both curves: the signature is the gate loss
-    leaving its plateau (r3 TPU observation: 1.09 -> 3.09 at ~9.5k).
-    A side 'collapses' when its gate loss after warmup exceeds
-    plateau_median + 10 * plateau_MAD (the plateau is steps 2k..6k) and
-    stays above it for >= 3 consecutive samples."""
+    """Collapse verdict across ALL recorded curves (base jax/torch plus
+    every bisect cell collapse_jax_*_<iters>.json): the signature is the
+    gate loss leaving its plateau (r3 TPU observation: 1.09 -> 3.09 at
+    ~9.5k). A side 'collapses' when its gate loss after warmup exceeds
+    plateau_median + max(10 * plateau_MAD, 0.25) (plateau = steps 2k..6k;
+    the absolute floor keeps tight-plateau transient blips — e.g. a
+    one-window 1.03 -> 1.17 excursion that returns — from counting; the
+    real r3 signature is a +2.0 excursion that sticks) and stays above it
+    for >= 3 consecutive samples."""
     out = {}
-    for side in ("jax", "torch"):
-        f = pathlib.Path(__file__).parent / f"collapse_{side}_{iters}.json"
+    here = pathlib.Path(__file__).parent
+    sides = sorted(
+        f.name[len("collapse_"):-len(f"_{iters}.json")]
+        for f in here.glob(f"collapse_*_{iters}.json"))
+    for side in sides:
+        f = here / f"collapse_{side}_{iters}.json"
         d = json.loads(f.read_text())
         step = np.asarray(d["step"])
         gate = np.asarray(d["gate"])
@@ -302,7 +310,7 @@ def compare(iters: int):
         plat = gate[(step >= 2000) & (step <= 6000)]
         med = float(np.median(plat))
         mad = float(np.median(np.abs(plat - med))) or 1e-6
-        thr = med + 10 * mad
+        thr = med + max(10 * mad, 0.25)
         above = (gate > thr) & (step > 6000)
         runlen = 0
         collapse_step = None
