@@ -4,8 +4,18 @@ implementation mounted read-only at /root/reference (PyTorch).
 The reference hard-imports Microsoft Tutel (CUDA/NCCL) and timm at module
 scope; these stubs satisfy the imports so the PURE-TORCH code paths
 (`apply_on_expert_fn_nobatch_torch`, ExpertMLP.baddbmm forward, dense NeRF)
-can execute on CPU for numerics comparison. Nothing stubbed is ever called
-in those paths.
+can execute on CPU for numerics comparison.
+
+Additionally the tutel sparse-dispatch kernels are given pure-torch CPU
+equivalents (exact semantics transcribed from the CUDA sources), so the
+reference's KERNEL dispatch paths also run on CPU:
+  * tutel.jit_kernels.sparse — REAL tutel's batch dispatcher (reference
+    tutel_fast_dispatch.py:10): [E*capacity, M] grid, row = e*cap + loc,
+    capacity-overflow tokens dropped. Selected by --moe_train_batch /
+    --moe_test_batch (runner.py:479 set_no_batch(False)).
+  * JitCompiler.generate_cpu_kernel — the nobatch ext dispatcher
+    (tutel_sparse_nobatch.py:17-120): variable-size contiguous layout via
+    expert_locations_begin, no drops (apply_on_expert_fn_nobatch).
 """
 import sys
 import types
@@ -31,6 +41,89 @@ def install_stubs():
 
     def torch_cumsum_sub_one(x, dim=0):
         return torch.cumsum(x, dim=dim) - 1
+
+    # Pure-torch equivalents of tutel_sparse_nobatch's three jit kernels
+    # (reference tutel_sparse_nobatch.py:17-120, CUDA source), so the
+    # reference's BATCH dispatch path (tutel_moe_layer_nobatch.py:98
+    # apply_on_expert_fn, selected by --moe_train_batch/--moe_test_batch)
+    # runs on CPU. Call signature per tutel_fast_dispatch_nobatch.py:128-131
+    # and GatingEncoder/GatingDecoder: fn(gates, indices, locations,
+    # expert_locations_begin, src, dst, extra=[samples, hidden, capacity]).
+    # Semantics: row = expert_locations_begin[indices[s]] + locations[s]
+    # (contiguous layout by ACTUAL per-expert counts — no capacity clamp,
+    # no drops); indices[s] < 0 rows are skipped (fwd) / zeroed (bwd).
+    def _rows(i, l, begin, samples):
+        i = i.reshape(-1)[:samples].long()
+        sel = i >= 0
+        rows = begin.long()[i[sel]] + l.reshape(-1)[:samples].long()[sel]
+        return sel, rows
+
+    def _gsel(g, samples, sel):
+        return g.reshape(-1)[:samples][sel]
+
+    def _cpu_fwd(g, i, l, begin, src, dst, extra=None):
+        samples, _, _ = extra
+        sel, rows = _rows(i, l, begin, samples)
+        dst.index_add_(
+            0, rows,
+            _gsel(g, samples, sel).unsqueeze(1).to(dst.dtype) * src[sel])
+
+    def _cpu_bwd_data(g, i, l, begin, grad_data, dispatched, extra=None):
+        samples, _, _ = extra
+        sel, rows = _rows(i, l, begin, samples)
+        grad_data.zero_()
+        grad_data[sel] = (_gsel(g, samples, sel).unsqueeze(1)
+                          .to(dispatched.dtype) * dispatched[rows])
+
+    def _cpu_bwd_gate(grad_gates, i, l, begin, src, dispatched, extra=None):
+        samples, _, _ = extra
+        sel, rows = _rows(i, l, begin, samples)
+        grad_gates.zero_()
+        grad_gates[sel] = (
+            src[sel].to(dispatched.dtype) * dispatched[rows]).sum(-1)
+
+    class _JitCompiler:
+        @staticmethod
+        def generate_kernel(*a, **k):
+            raise RuntimeError("tutel CUDA kernel requested under CPU stubs")
+
+        @staticmethod
+        def generate_cpu_kernel(kernel_type):
+            return {0: _cpu_fwd, 1: _cpu_bwd_data,
+                    2: _cpu_bwd_gate}[kernel_type]
+
+    # Pure-torch equivalents of REAL tutel's jit_kernels.sparse (the BATCH
+    # dispatcher, reference tutel_fast_dispatch.py:10,25-27: buffer is
+    # [E*capacity, M], row = indices[s]*capacity + locations[s], guarded by
+    # locations[s] < capacity AND indices[s] >= 0 — i.e. capacity-overflow
+    # tokens are DROPPED). Call: fn(gates, indices, locations, src, dst,
+    # extra=[samples, hidden, capacity]).
+    def _grid_rows(i, l, capacity, samples):
+        i = i.reshape(-1)[:samples].long()
+        l = l.reshape(-1)[:samples].long()
+        sel = (i >= 0) & (l < capacity)
+        return sel, i[sel] * capacity + l[sel]
+
+    def _tutel_fwd(g, i, l, src, dst, extra=None):
+        samples, _, capacity = extra
+        sel, rows = _grid_rows(i, l, capacity, samples)
+        dst.index_add_(
+            0, rows,
+            _gsel(g, samples, sel).unsqueeze(1).to(dst.dtype) * src[sel])
+
+    def _tutel_bwd_data(g, i, l, grad_data, dispatched, extra=None):
+        samples, _, capacity = extra
+        sel, rows = _grid_rows(i, l, capacity, samples)
+        grad_data.zero_()
+        grad_data[sel] = (_gsel(g, samples, sel).unsqueeze(1)
+                          .to(dispatched.dtype) * dispatched[rows])
+
+    def _tutel_bwd_gate(grad_gates, i, l, src, dispatched, extra=None):
+        samples, _, capacity = extra
+        sel, rows = _grid_rows(i, l, capacity, samples)
+        grad_gates.zero_()
+        grad_gates[sel] = (
+            src[sel].to(dispatched.dtype) * dispatched[rows]).sum(-1)
 
     class _AnySparse(types.ModuleType):
         def __getattr__(self, name):
@@ -64,17 +157,22 @@ def install_stubs():
         trunc_normal_=lambda t, std=1.0: I.trunc_normal_(t, std=std))
     mod("tutel")
     mod("tutel.impls")
-    mod("tutel.impls.jit_compiler", IS_HIP_EXTENSION=False, JitCompiler=object,
-        tutel_custom_kernel=None)
+    mod("tutel.impls.jit_compiler", IS_HIP_EXTENSION=False,
+        JitCompiler=_JitCompiler, tutel_custom_kernel=None)
     mod("tutel.jit_kernels")
     mod("tutel.jit_kernels.gating",
         fast_cumsum_sub_one=torch_cumsum_sub_one,
         torch_cumsum_sub_one=torch_cumsum_sub_one)
-    sys.modules.setdefault("tutel.jit_kernels.sparse",
-                           _AnySparse("tutel.jit_kernels.sparse"))
+    mod("tutel.jit_kernels.sparse",
+        create_forward=lambda dtype, is_cuda=True: _tutel_fwd,
+        create_backward_data=lambda dtype, is_cuda=True: _tutel_bwd_data,
+        create_backward_gate=lambda dtype, is_cuda=True: _tutel_bwd_gate)
     mod("tutel.impls.communicate",
         simple_all_reduce=lambda x, *a, **k: x,
-        all_to_all_single=None, all_to_all=None, zero_gather=None,
+        # single-process a2a is the identity (batch dispatch path calls it
+        # unconditionally at a2a_ffn_overlap_degree=1)
+        all_to_all_single=lambda x, *a, **k: x,
+        all_to_all=None, zero_gather=None,
         zero_scatter=None, AllToAllStatus=None, CurrentStreamRelease=None,
         CurrentStreamAcquire=None, TUTEL_GROUPING_CACHE={},
         barrier=lambda *a, **k: None,

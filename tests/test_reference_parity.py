@@ -60,7 +60,7 @@ def test_dense_nerf_parity():
 
 
 def _build_ref_moe(expert_type, seed=7, m=16, e=4, layer_num=2, skips=(1,),
-                   top_k=1):
+                   top_k=1, bpr=True):
     import torch
     from switch_nerf.modules.tutel_moe_ext.tutel_moe_nobatch import moe_layer
     from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
@@ -79,7 +79,7 @@ def _build_ref_moe(expert_type, seed=7, m=16, e=4, layer_num=2, skips=(1,),
     return moe_layer(
         gate_type={"type": "top", "k": top_k, "fp32_gate": True,
                    "gate_dim": m, "capacity_factor": 1.0,
-                   "gate_noise": -1.0, "batch_prioritized_routing": True},
+                   "gate_noise": -1.0, "batch_prioritized_routing": bpr},
         model_dim=m, experts=experts, seeds=(1, 2, 3),
         scan_expert_func=None)
 
@@ -116,6 +116,33 @@ def test_moe_layer_parity():
     l_aux_want = float(want.l_aux)
     want = want.numpy()
 
+    # the reference's KERNEL nobatch path (apply_on_expert_fn_nobatch,
+    # variable-split dispatch via the tutel_sparse_nobatch CPU kernel
+    # equivalents) agrees with its pure-torch variant — with BPR OFF.
+    # Reference bug: with batch_prioritized_routing=True that path derives
+    # expert_input_nums from locations1[-1, :] (the UNSORTED last token's
+    # masked location row, garbage under BPR) and trips its own assert at
+    # tutel_fast_dispatch_nobatch.py:32; unreachable in published configs,
+    # which always pass --moe_train_batch/--moe_test_batch.
+    ref_nb_t = _build_ref_moe("seqexperts", bpr=False).eval()
+    ref_nb_t.load_state_dict(sd_seq)
+    ref_nb_k = _build_ref_moe("seqexperts", bpr=False).eval()
+    ref_nb_k.load_state_dict(sd_seq)
+    ref_nb_k.moe_no_batch = True  # default forward -> nobatch kernel path
+    with torch.no_grad():
+        want_nobpr = ref_nb_t(
+            x, gate_input=x,
+            apply_on_expert_fn_name="apply_on_expert_fn_nobatch_torch")
+        got_kernel = ref_nb_k(x, gate_input=x)
+    np.testing.assert_allclose(got_kernel.numpy(), want_nobpr.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    import pytest
+    ref_seq.moe_no_batch = True
+    with pytest.raises(AssertionError):  # the documented reference bug
+        with torch.no_grad():
+            ref_seq(x, gate_input=x)
+    ref_seq.moe_no_batch = False
+
     # our converter + MoELayer (no-drop mode == reference nobatch)
     sys.path.insert(0, "/root/repo")
     import jax.numpy as jnp
@@ -139,6 +166,67 @@ def test_moe_layer_parity():
                       batch_prioritized_routing=True)
     y2, _, _ = ours_p.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(y2), want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_layer_batch_path_parity():
+    """The reference's BATCH dispatch path — what --moe_train_batch /
+    --moe_test_batch select (runner.py:479/764 set_no_batch(False) ->
+    tutel_moe_layer_nobatch.py:775 apply_on_expert_fn, REAL tutel sparse
+    kernels on the [E*capacity, M] grid, run on CPU via the pure-torch
+    kernel equivalents in reference_stubs) — vs our padded MoELayer, on an
+    IMBALANCED batch WITH capacity-overflow drops: forward, l_aux, input
+    grads, and every converted parameter grad agree. All published
+    training commands use --moe_train_batch (reference README.md:71), so
+    this pins the production dispatch directly against the reference
+    rather than against our einsum oracle."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.models.moe import MoELayer
+
+    m, e, s = 16, 4, 64
+    ref = _build_ref_moe("expertmlp").train()  # moe_no_batch=False default
+    x_np = np.random.default_rng(5).normal(0, 1, (s, m)).astype(np.float32)
+    x = torch.tensor(x_np, requires_grad=True)
+    out = ref(x, gate_input=x)
+    (out.float().pow(2).sum() + out.l_aux).backward()
+    want_y = out.detach().numpy()
+    want_laux = float(out.l_aux)
+
+    # the batch is genuinely imbalanced: dropped tokens decode to exact 0
+    dropped = int((np.abs(want_y).max(1) == 0.0).sum())
+    assert dropped > 0, "probe batch must exercise capacity drops"
+
+    sd = {f"layers.0.{k}": v.clone() for k, v in ref.state_dict().items()}
+    params = unflatten(convert_nerf_moe_state_dict(
+        {k: v.numpy() for k, v in sd.items()}))["layer_0"]
+    ours = MoELayer(model_dim=m, num_experts=e, layer_num=2, skips=(1,),
+                    top_k=1, capacity_factor=1.0,
+                    batch_prioritized_routing=True,
+                    train_dispatch="padded", eval_dispatch="padded")
+
+    def loss_fn(p, xj):
+        y, laux, _ = ours.apply({"params": p}, xj)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + laux, (y, laux)
+
+    (_, (y, laux)), (gp, gx) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(y), want_y, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(laux), want_laux, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), x.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+    # parameter grads convert through the same (linear) checkpoint mapping
+    gt = unflatten(convert_nerf_moe_state_dict(
+        {f"layers.0.{k}": v.grad.numpy()
+         for k, v in ref.named_parameters()}))["layer_0"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b,
+                                                rtol=1e-4, atol=1e-5),
+        gp, gt)
 
 
 def test_full_nerfmoe_graph_parity():
