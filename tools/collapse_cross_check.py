@@ -115,7 +115,12 @@ def _torch_init_sd():
     return {k: v.clone() for k, v in model.state_dict().items()}
 
 
-def run_torch(iters: int):
+def run_torch(iters: int, label: str = "torch",
+              variant: dict | None = None):
+    """variant: same bisect knobs as run_jax ('amp', 'perturb', 'batch',
+    'samples', 'dispatch') stepping the torch reference toward the
+    ORIGINAL collapsing recipe; 'init' must stay 'torch' (both sides
+    already share the torch init)."""
     import torch
     from torch.optim import Adam
     from torch.optim.lr_scheduler import ExponentialLR
@@ -126,23 +131,50 @@ def run_torch(iters: int):
         MOELayer as RefMOELayer
     from switch_nerf.rendering_mip import render_rays as ref_render_mip
 
-    sd_seq = convert_to_seqexperts({k: v.clone() for k, v in sd.items()})
-    sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
-              for k, v in sd_seq.items()}
-    hp = _torch_args("seqexperts")
-    torch.manual_seed(2025)
-    model = get_nerf_moe_inner(hp, appearance_count=1, xyz_dim=3)
-    model.load_state_dict(sd_seq)
-    for mod in model.modules():
-        if isinstance(mod, RefMOELayer):
-            orig = mod.forward
+    v = {"amp": False, "perturb": 0.0, "batch": BATCH, "samples": SAMPLES,
+         "init": "torch", "dispatch": "nodrop", **(variant or {})}
+    assert v["init"] == "torch", \
+        "torch side always starts from the shared torch init"
 
-            def patched(inp, _orig=orig, **kw):
-                kw["apply_on_expert_fn_name"] = \
-                    "apply_on_expert_fn_nobatch_torch"
-                return _orig(inp, **kw)
-            mod.forward = patched
+    torch.manual_seed(2025)
+    if v["dispatch"] == "padded":
+        # the reference's batch path (--moe_train_batch: expertmlp experts,
+        # apply_on_expert_fn, capacity-1.0 BPR grid with overflow drops) —
+        # runs on CPU via the tutel sparse-kernel equivalents in
+        # tests/reference_stubs.py
+        hp = _torch_args("expertmlp")
+        model = get_nerf_moe_inner(hp, appearance_count=1, xyz_dim=3)
+        model.load_state_dict(sd)
+    else:
+        sd_seq = convert_to_seqexperts({k: v2.clone()
+                                        for k, v2 in sd.items()})
+        sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v2
+                  for k, v2 in sd_seq.items()}
+        hp = _torch_args("seqexperts")
+        model = get_nerf_moe_inner(hp, appearance_count=1, xyz_dim=3)
+        model.load_state_dict(sd_seq)
+        for mod in model.modules():
+            if isinstance(mod, RefMOELayer):
+                orig = mod.forward
+
+                def patched(inp, _orig=orig, **kw):
+                    kw["apply_on_expert_fn_name"] = \
+                        "apply_on_expert_fn_nobatch_torch"
+                    return _orig(inp, **kw)
+                mod.forward = patched
+    hp.perturb = v["perturb"]
+    hp.coarse_samples = hp.fine_samples = v["samples"]
     model.train()
+
+    if v["amp"]:
+        # the original recipe's bf16 autocast, mapped to CPU: the
+        # reference's internal torch.cuda.amp.autocast(enabled=...) guards
+        # (fp32 gate, fp32 sigma/color heads) must keep disabling autocast
+        # on CPU, so rebind them to cpu-device autocast
+        def _cpu_autocast(enabled=True, **kw):
+            return torch.amp.autocast("cpu", enabled=enabled,
+                                      dtype=torch.bfloat16)
+        torch.cuda.amp.autocast = _cpu_autocast
 
     rays, gts, radii = _scene()
     opt = Adam(model.parameters(), lr=LR)
@@ -150,21 +182,26 @@ def run_torch(iters: int):
     rng = np.random.default_rng(0)
     trace = {"step": [], "photo": [], "gate": [], "psnr": []}
     t0 = time.time()
+    import contextlib
+    amp_ctx = ((lambda: torch.amp.autocast("cpu", dtype=torch.bfloat16))
+               if v["amp"] else contextlib.nullcontext)
     for it in range(1, iters + 1):
-        idx = rng.integers(0, rays.shape[0], BATCH)
+        idx = rng.integers(0, rays.shape[0], v["batch"])
         opt.zero_grad()
-        results, _ = ref_render_mip(
-            nerf=model, rays=torch.tensor(rays[idx]),
-            radii=torch.tensor(radii[idx]),
-            image_indices=None, hparams=hp,
-            get_depth=False, get_depth_variance=True)
+        with amp_ctx():
+            results, _ = ref_render_mip(
+                nerf=model, rays=torch.tensor(rays[idx]),
+                radii=torch.tensor(radii[idx]),
+                image_indices=None, hparams=hp,
+                get_depth=False, get_depth_variance=True)
         tgt = torch.tensor(gts[idx])
-        photo_f = torch.nn.functional.mse_loss(results["rgb_fine"], tgt)
+        photo_f = torch.nn.functional.mse_loss(
+            results["rgb_fine"].float(), tgt)
         photo = (photo_f
-                 + torch.nn.functional.mse_loss(results["rgb_coarse"],
-                                                tgt)) / 2
-        gate = (results["gate_loss_fine"].mean()
-                + results["gate_loss_coarse"].mean()) / 2
+                 + torch.nn.functional.mse_loss(
+                     results["rgb_coarse"].float(), tgt)) / 2
+        gate = (results["gate_loss_fine"].float().mean()
+                + results["gate_loss_coarse"].float().mean()) / 2
         loss = photo + L_AUX_WT * gate
         loss.backward()
         opt.step()
@@ -175,8 +212,8 @@ def run_torch(iters: int):
             trace["photo"].append(float(photo))
             trace["gate"].append(float(gate))
             trace["psnr"].append(psnr)
-            _dump("torch", iters, trace)
-            print(f"[torch {it}/{iters}] photo={float(photo):.5f} "
+            _dump(label, iters, trace)
+            print(f"[{label} {it}/{iters}] photo={float(photo):.5f} "
                   f"gate={float(gate):.3f} psnr={psnr:.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
     return trace
@@ -365,7 +402,9 @@ def main():
                         variant=variant)
     else:
         label = side
-        trace = run_torch(iters)
+        for k in sorted(variant):
+            label += f"_{k}-{variant[k]}"
+        trace = run_torch(iters, label=label, variant=variant)
     _dump(label, iters, trace)
     print(f"wrote collapse_{label}_{iters}.json")
 
