@@ -83,9 +83,13 @@ def _ref_args(expert_type, **render_flags):
     return ns
 
 
-def _build_ref_torch_model(seed=11):
+def _build_ref_torch_model(seed=11, padded=False):
     """Reference NeRFMoE in the pure-torch (seqexperts + mask strategy)
-    form: the differentiable CPU oracle for the CUDA dispatch kernels."""
+    form: the differentiable CPU oracle for the CUDA dispatch kernels.
+    padded=True instead returns the expertmlp model with its DEFAULT
+    forward — the batch dispatch path that --moe_train_batch selects
+    (runner.py:479), running on CPU via the tutel sparse-kernel
+    equivalents in reference_stubs."""
     import torch
     from switch_nerf.models.model_utils import convert_to_seqexperts
     from switch_nerf.models.nerf_moe import get_nerf_moe_inner
@@ -96,6 +100,8 @@ def _build_ref_torch_model(seed=11):
     ref_a = get_nerf_moe_inner(_ref_args("expertmlp"), appearance_count=4,
                                xyz_dim=3)
     sd = {k: v.clone() for k, v in ref_a.state_dict().items()}
+    if padded:
+        return ref_a, sd
     sd_seq = convert_to_seqexperts({k: v.clone() for k, v in sd.items()})
     sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
               for k, v in sd_seq.items()}
@@ -370,22 +376,24 @@ def _make_batches(n_steps=300, n_rays=32, n_batches=16, seed=17):
 TRAJ_STEPS, TRAJ_LR, TRAJ_DECAY = 300, 2e-3, 0.1
 
 
-def _torch_trajectory(batches, acc=1):
+def _torch_trajectory(batches, acc=1, padded=False):
     """Reference training loop: Adam + per-MICRO-step ExponentialLR
     (runner.py:485-516, 692-693), loss assembled exactly like
     _training_step + the train-loop l_aux weighting and the
     /accumulation_steps division with optimizer steps every `acc` micro
     iterations (runner.py:659-693), fg-only rendering through the
-    reference render_rays."""
+    reference render_rays. padded=True drives the reference's BATCH
+    dispatch path (the published --moe_train_batch training mode)."""
     import torch
     from torch.optim import Adam
     from torch.optim.lr_scheduler import ExponentialLR
     from switch_nerf.rendering import render_rays as ref_render_rays
 
-    ref, sd = _build_ref_torch_model()
+    ref, sd = _build_ref_torch_model(padded=padded)
     ref.train()
     hp = _ref_args(
-        "seqexperts", perturb=0.0, coarse_samples=8, fine_samples=8,
+        "expertmlp" if padded else "seqexperts",
+        perturb=0.0, coarse_samples=8, fine_samples=8,
         model_chunk_size=4096, use_cascade=False, white_bkgd=False,
         use_random_background_color=False, use_sigma_noise=False,
         sigma_noise_std=0.0, bg_use_moe=False, return_pts=False,
@@ -419,10 +427,11 @@ def _torch_trajectory(batches, acc=1):
     return {"photo_loss": photo, "all_loss": all_loss, "psnr": psnr}
 
 
-def _jax_trajectory(batches, acc=1):
+def _jax_trajectory(batches, acc=1, padded=False):
     """Our functional trainer on the converted init params: the hparams
     ride through the real config system so the production create_optimizer
-    / make_train_step path is what's exercised."""
+    / make_train_step path is what's exercised. padded=True adds
+    --moe_train_batch (the published training mode -> padded dispatch)."""
     import jax
     import jax.numpy as jnp
     from scripts.convert_torch_ckpt import (convert_nerf_moe_state_dict,
@@ -446,8 +455,9 @@ def _jax_trajectory(batches, acc=1):
         "--lr_decay_factor", str(TRAJ_DECAY),
         "--train_iterations", str(TRAJ_STEPS),
         "--moe_l_aux_wt", str(MOE_L_AUX_WT),
-        "--model", json.dumps(GRAPH)])
-    assert not h.moe_train_batch   # nodrop == the pure-torch oracle path
+        "--model", json.dumps(GRAPH)]
+        + (["--moe_train_batch"] if padded else []))
+    assert h.moe_train_batch == padded
 
     model = get_nerf(h, appearance_count=4)
     state = create_train_state(jax.random.PRNGKey(0), h, model, None)
@@ -507,6 +517,42 @@ def test_training_trajectory_parity():
             {"config": {"steps": TRAJ_STEPS, "lr": TRAJ_LR,
                         "decay": TRAJ_DECAY, "l_aux_wt": MOE_L_AUX_WT},
              **want}, indent=1))
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_padded():
+    """300 optimizer steps in the PADDED dispatch mode — the mode every
+    published training command runs (--moe_train_batch, reference
+    README.md:71): our padded-dispatch trainer vs the reference's batch
+    path (tutel grid dispatch with capacity-overflow drops, on CPU via
+    the reference_stubs kernel equivalents). Routing drops make late
+    steps more excursion-prone than the nodrop pin (a near-boundary BPR
+    flip changes WHICH token drops), so the bands are checked on the
+    early prefix tightly and the bulk statistically."""
+    batches = _make_batches(TRAJ_STEPS)
+    ours = _jax_trajectory(batches, padded=True)
+    want = _torch_trajectory(batches, padded=True)
+
+    got_l = np.asarray(ours["all_loss"])
+    want_l = np.asarray(want["all_loss"])
+    rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
+    # measured profile (2026-08): step-0 forward at identical params
+    # rel 4.4e-4 (fp32 reassociation through scatter-combine + render),
+    # smooth growth to ~3e-3 by step 40 (no spikes, i.e. the BPR drop SET
+    # matches step for step early); past ~step 80 drop-boundary flips make
+    # pointwise drift chaotic-but-bounded (median 4.0e-2, max 2.2e-1)
+    # while both curves decay 0.103 -> 0.013 (7.4x) and final psnr agrees
+    # to 3.3% — so early steps are pinned tightly and the bulk
+    # statistically
+    assert rel[:25].max() < 4e-3, f"early drift {rel[:25].max():.2e}"
+    assert np.median(rel) < 8e-2, f"median drift {np.median(rel):.2e}"
+    # both runs actually learn
+    assert want_l[-10:].mean() < 0.25 * want_l[:10].mean()
+    assert got_l[-10:].mean() < 0.25 * got_l[:10].mean()
+    print(f"padded trajectory drift: early {rel[:50].max():.2e} "
+          f"median {np.median(rel):.2e} max {rel.max():.2e}")
+    np.testing.assert_allclose(ours["psnr"][-1], want["psnr"][-1],
+                               rtol=5e-2)
 
 
 @pytest.mark.slow
