@@ -212,7 +212,7 @@ def run_torch(iters: int, label: str = "torch",
             trace["photo"].append(float(photo))
             trace["gate"].append(float(gate))
             trace["psnr"].append(psnr)
-            _dump(label, iters, trace)
+            _dump(label, iters, trace, v)
             print(f"[{label} {it}/{iters}] photo={float(photo):.5f} "
                   f"gate={float(gate):.3f} psnr={psnr:.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -305,7 +305,7 @@ def run_jax(iters: int, platform: str = "cpu", label: str = "jax",
             trace["photo"].append(float(m["photo_loss"]))
             trace["gate"].append(float(m["gate_loss"]))
             trace["psnr"].append(float(m["psnr"]))
-            _dump(label, iters, trace)
+            _dump(label, iters, trace, v)
             print(f"[{label} {it}/{iters}] "
                   f"photo={float(m['photo_loss']):.5f} "
                   f"gate={float(m['gate_loss']):.3f} "
@@ -314,13 +314,15 @@ def run_jax(iters: int, platform: str = "cpu", label: str = "jax",
     return trace
 
 
-def _dump(side, iters, trace):
+def _dump(side, iters, trace, variant=None):
     # incremental: a killed long run still leaves its curve on disk
+    v = variant or {}
     out = pathlib.Path(__file__).parent / f"collapse_{side}_{iters}.json"
     out.write_text(json.dumps(
-        {"side": side, "iters": iters, "batch": BATCH, "width": WIDTH,
-         "experts": EXPERTS, "samples": SAMPLES, "lr": LR,
-         "l_aux_wt": L_AUX_WT, **trace}, indent=1))
+        {"side": side, "iters": iters,
+         "batch": v.get("batch", BATCH), "width": WIDTH,
+         "experts": EXPERTS, "samples": v.get("samples", SAMPLES),
+         "lr": LR, "l_aux_wt": L_AUX_WT, **trace}, indent=1))
 
 
 def compare(iters: int):
@@ -405,7 +407,7 @@ def main():
         for k in sorted(variant):
             label += f"_{k}-{variant[k]}"
         trace = run_torch(iters, label=label, variant=variant)
-    _dump(label, iters, trace)
+    _dump(label, iters, trace, variant)
     print(f"wrote collapse_{label}_{iters}.json")
 
 
