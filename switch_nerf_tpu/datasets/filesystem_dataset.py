@@ -318,8 +318,27 @@ class FilesystemDataset:
                 (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
             ready.touch()
         else:
-            # no writer may touch the tree before process 0's cleanup
-            poll_until(lambda: ready.exists() or None,
+            # no writer may touch the tree before process 0's cleanup. A
+            # CRASHED previous cooperative write leaves its ready marker
+            # behind (it is only unlinked at manifest publish), so a
+            # marker observed at entry must not count — wait until it is
+            # recreated (new inode/mtime) or, if it vanishes first, until
+            # it reappears; otherwise this writer could append parts into
+            # dirs process 0 is about to rmtree.
+            try:
+                st = ready.stat()
+                stale_id = (st.st_ino, st.st_mtime_ns)
+            except FileNotFoundError:
+                stale_id = None
+
+            def _fresh_ready():
+                try:
+                    st = ready.stat()
+                except FileNotFoundError:
+                    return None
+                return ((st.st_ino, st.st_mtime_ns) != stale_id) or None
+
+            poll_until(_fresh_ready,
                        desc="process 0 never initialized the chunk tree")
         buffers: List[Dict[str, List[np.ndarray]]] = [
             {} for _ in range(num_chunks)]

@@ -746,3 +746,35 @@ def test_cooperative_chunk_write_matches_single_writer(mega_dataset,
     make(tmp_path / "coop", 0, 1, reuse_out)
     reuse_out[0].load_chunk()
     assert len(reuse_out[0]) > 0
+
+    # crash-restart protocol: a CRASHED cooperative write leaves its
+    # .chunks_ready marker behind (only unlinked at manifest publish). A
+    # restarted non-zero writer must NOT treat that stale marker as
+    # "process 0 finished cleanup" — it would append parts into dirs
+    # process 0 is about to rmtree. The wait requires a FRESH marker
+    # (recreated inode/mtime).
+    import time
+    crash = tmp_path / "crash"
+    crash.mkdir()
+    (crash / ".chunks_ready").touch()                   # stale marker
+    stale_dir = crash / "chunk_0000"
+    stale_dir.mkdir()
+    (stale_dir / "part_9999.npz").write_bytes(b"stale")  # crashed leftovers
+    crash_out = {}
+    t1 = threading.Thread(target=make, args=(crash, 1, 2, crash_out))
+    t1.start()
+    time.sleep(2.5)  # > the 1 s poll interval
+    assert t1.is_alive() and 1 not in crash_out, \
+        "writer 1 proceeded on a stale ready marker"
+    t0 = threading.Thread(target=make, args=(crash, 0, 2, crash_out))
+    t0.start()
+    t0.join(timeout=300)
+    t1.join(timeout=300)
+    assert set(crash_out) == {0, 1}
+    assert not (stale_dir / "part_9999.npz").exists()
+    for chunk in sorted((tmp_path / "single").glob("chunk_*")):
+        a = ref._read_chunk(chunk)
+        b = ref._read_chunk(crash / chunk.name)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=(chunk.name,
+                                                               k))
