@@ -268,3 +268,229 @@ def test_whole_eval_stack_cross_framework(tmp_path, monkeypatch):
     our_files = sorted(p.name for p in our_images.iterdir())
     assert ref_files == our_files == [
         "0_depth.jpg", "0_gt.jpg", "0_pred.jpg", "metrics_0.txt"]
+
+
+def test_whole_eval_stack_cross_framework_blocknerf(tmp_path, monkeypatch):
+    """Block-NeRF twin of the pin above: the REFERENCE's
+    `_run_validation_image_blocknerf` (runner.py:1610-1869 — tfrecord val
+    set, mip render with radii, RIGHT-half crops, masked metrics,
+    hash-keyed files, val_image_num-divided summary) and our
+    `eval_image_blocknerf` run end-to-end on the SAME synthetic tfrecords
+    and ONE converted checkpoint, and the final numbers/files must agree.
+
+    The reference's single-process branch is unreachable (its `image_path`
+    is unbound without RANK — NameError), so the torch side runs the RANK
+    branch with world_size 1 and no-op collectives, exactly what
+    `torch.distributed.launch --nproc_per_node=1` produces.
+    """
+    install_runner_stubs()
+    pytest.importorskip("tensorflow")
+    import torch
+
+    from tests.test_blocknerf_e2e import _write_record
+
+    # ---- shared scene: tfrecords + hash->appearance-id map ---------------
+    root = tmp_path / "data"
+    root.mkdir()
+    _write_record(root / "train0.tfrecord", [100], 8, 12, False)
+    _write_record(root / "validation0.tfrecord", [300], 16, 24, True, seed=3)
+    (root / "train.txt").write_text("train0.tfrecord\n")
+    (root / "val.txt").write_text("validation0.tfrecord\n")
+    (root / "idmap.json").write_text(json.dumps({
+        "val_image_num": 1,
+        "train0.tfrecord": {"100": 0},
+        "validation0.tfrecord": {"300": 1},
+    }))
+
+    # ---- one reference-format Mip checkpoint ------------------------------
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+    from switch_nerf.models.nerf_moe import get_nerf_moe_inner
+    args_mip = _ref_args()
+    args_mip.nerfmoe_class_name = "MipNeRFMoE"
+    torch.manual_seed(177)
+    train_model = get_nerf_moe_inner(args_mip, appearance_count=2,
+                                     xyz_dim=3).eval()
+    sd = {"module." + k: v for k, v in train_model.state_dict().items()}
+    ckpt_pt = tmp_path / "ref.pt"
+    torch.save({"model_state_dict": sd, "iteration": 7}, ckpt_pt)
+
+    sd_seq = convert_to_seqexperts({k: v.clone() for k, v in sd.items()})
+    sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in sd_seq.items()}
+    args_seq = _ref_args()
+    args_seq.nerfmoe_class_name = "MipNeRFMoE"
+    args_seq.moe_expert_type = "seqexperts"
+    torch.manual_seed(178)
+    ref_model = get_nerf_moe_inner(args_seq, appearance_count=2,
+                                   xyz_dim=3).eval()
+    ref_model.load_state_dict(sd_seq)
+
+    # ---- OUR side: convert ckpt, run eval_image_blocknerf -----------------
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_SUBSTITUTE", "0")  # match fields
+    common = ["--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
+              "--batch_prioritized_routing", "--moe_expert_num", str(E),
+              "--no_bg_nerf", "--pos_xyz_dim", "2", "--pos_dir_dim", "1",
+              "--appearance_dim", "4", "--no_amp", "--use_mip",
+              "--nerfmoe_class_name", "MipNeRFMoE",
+              "--data_type", "block_nerf",
+              "--block_train_list_path", str(root / "train.txt"),
+              "--block_val_list_path", str(root / "val.txt"),
+              "--block_image_hash_id_map_path", str(root / "idmap.json"),
+              "--near", "0.01", "--far", "10.0",
+              "--coarse_samples", "8", "--fine_samples", "8",
+              "--model_chunk_size", "2048",
+              "--image_pixel_batch_size", "128",
+              "--model", json.dumps(GRAPH)]
+    argv = (["convert", "--exp_name", str(tmp_path / "conv_exp"),
+             "--dataset_path", str(root)] + common
+            + ["--torch_ckpt", str(ckpt_pt),
+               "--out_ckpt", str(tmp_path / "converted")])
+    monkeypatch.setattr(sys, "argv", argv)
+    from scripts.convert_torch_ckpt import main as conv_main
+    conv_main()
+
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.runner import Runner
+    h = parse_args(get_opts(), [
+        "--exp_name", str(tmp_path / "ours_exp"),
+        "--dataset_path", str(root)] + common)
+    # reference pure-torch strategy == our nodrop dispatch
+    h.apply_on_expert_fn_name = "apply_on_expert_fn_nobatch_torch"
+    h.ckpt_path = str(tmp_path / "converted" / "7")
+    ours_runner = Runner(h)
+    assert ours_runner.appearance_count == 2
+    our_means = ours_runner.eval_image_blocknerf()
+    our_base = Path(h.exp_name)
+    our_txt_lines = [
+        line.split(": ") for line in
+        (our_base / "images" / "metrics_300.txt").read_text().splitlines()
+        if line]
+
+    # ---- REFERENCE side: _run_validation_image_blocknerf ------------------
+    import switch_nerf.runner as RR
+
+    monkeypatch.setattr(RR.torch.cuda, "reset_peak_memory_stats",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(RR.torch.cuda, "max_memory_allocated",
+                        lambda *a, **k: 0)
+    monkeypatch.setattr(RR, "lpips", lambda *a, **k: {})
+    # world_size-1 "distributed" launch: RANK branch, no-op collectives
+    monkeypatch.setenv("RANK", "0")
+    monkeypatch.setenv("WORLD_SIZE", "1")
+    monkeypatch.setattr(torch.distributed, "barrier",
+                        lambda *a, **k: None, raising=False)
+    monkeypatch.setattr(torch.distributed, "broadcast_object_list",
+                        lambda *a, **k: None, raising=False)
+
+    from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
+        MOELayer as RefMOELayer
+    for mod in ref_model.modules():
+        if isinstance(mod, RefMOELayer):
+            orig = mod.forward
+
+            def patched(inp, _orig=orig, **kw):
+                kw["apply_on_expert_fn_name"] = \
+                    "apply_on_expert_fn_nobatch_torch"
+                return _orig(inp, **kw)
+            mod.forward = patched
+
+    class DDPish(torch.nn.Module):
+        """render_image_blocknerf unwraps .module under RANK (ref :2900)."""
+
+        def __init__(self, m):
+            super().__init__()
+            self.module = m
+
+    class FakeWriter:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    ref_exp = tmp_path / "ref_exp"
+    ref_exp.mkdir()
+    hp_ref = types.SimpleNamespace(
+        # render_rays_mip surface (test_mip_render_gradient_parity) + the
+        # blocknerf eval surface
+        perturb=0.0, coarse_samples=8, fine_samples=8,
+        model_chunk_size=2048, use_cascade=False, sh_deg=None,
+        pos_dir_dim=1, white_bkgd=False, use_random_background_color=False,
+        use_sigma_noise=False, sigma_noise_std=0.0, use_moe=True,
+        bg_use_moe=False, moe_return_gates=False, return_pts=False,
+        return_pts_rgb=False, return_pts_alpha=False, return_sigma=False,
+        return_alpha=False, use_load_importance_loss=False,
+        compute_balance_loss=False, container_path=None,
+        train_mega_nerf=None, render_image_fn_name=None, bg_nerf=False,
+        center_pixels=True, appearance_dim=4, amp=False,
+        amp_use_bfloat16=False, image_pixel_batch_size=128,
+        use_mip=True, rgb_padding=0.001, weights_resample_padding=0.01,
+        stop_level_grad=True, use_balance_loss=True, moe_l_aux_wt=5e-4,
+        dataset_path=str(root), exp_name=str(ref_exp),
+        block_val_list_path=str(root / "val.txt"),
+        block_image_hash_id_map_path=str(root / "idmap.json"))
+
+    r = RR.Runner.__new__(RR.Runner)
+    r.hparams = hp_ref
+    r.device = torch.device("cpu")
+    r.near, r.far = 0.01, 10.0
+    r.ray_altitude_range = None
+    r.sphere_center = None
+    r.sphere_radius = None
+    r.nerf = DDPish(ref_model)
+    r.bg_nerf = None
+    r.writer = FakeWriter()
+    r.is_master = True
+    r.experiment_path = ref_exp
+
+    ref_metrics = RR.Runner._run_validation_image_blocknerf(r, 0)
+
+    ref_txt_lines = [
+        line.split(": ") for line in
+        (ref_exp / "images" / "metrics_300.txt").read_text().splitlines()
+        if line]
+
+    # ---- the pin ----------------------------------------------------------
+    # identical metrics field LIST (order included; reference :1764-1772)
+    assert [k for k, _ in ref_txt_lines] == [k for k, _ in our_txt_lines] \
+        == ["psnr", "ssim", "psnr_mask", "ssim_mask", "time", "memory"]
+    ref_txt = dict(ref_txt_lines)
+    our_txt = dict(our_txt_lines)
+    for k, tol in (("psnr", 0.05), ("psnr_mask", 0.05),
+                   ("ssim", 2e-3), ("ssim_mask", 2e-3)):
+        assert float(our_txt[k]) == pytest.approx(
+            float(ref_txt[k]), abs=tol), k
+    assert our_means["psnr"] == pytest.approx(
+        float(ref_metrics["val/psnr"]), abs=0.05)
+
+    # identical hash-keyed files: images/ crops + val_images/ triptych
+    ref_files = sorted(p.name for p in (ref_exp / "images").iterdir())
+    our_files = sorted(p.name for p in (our_base / "images").iterdir())
+    assert ref_files == our_files == [
+        "300_depth.jpg", "300_gt.jpg", "300_pred.jpg", "metrics_300.txt"]
+    assert (ref_exp / "val_images" / "300.jpg").exists()
+    assert (our_base / "val_images" / "300.jpg").exists()
+
+    # summary averages (sums / val_image_num) agree
+    def read_summary(p):
+        out = {}
+        for line in p.read_text().splitlines():
+            k, v = line.split(": ")
+            assert k.startswith("Average ")
+            out[k[len("Average "):]] = float(v)
+        return out
+
+    ref_sum = read_summary(ref_exp / "metrics.txt")
+    our_sum = read_summary(ours_runner.experiment_path / "metrics.txt")
+    assert set(ref_sum) == set(our_sum) == {
+        "val/psnr", "val/ssim", "val/psnr_mask", "val/ssim_mask",
+        "val/time", "val/memory"}
+    for k, tol in (("val/psnr", 0.05), ("val/psnr_mask", 0.05),
+                   ("val/ssim", 2e-3), ("val/ssim_mask", 2e-3)):
+        assert our_sum[k] == pytest.approx(ref_sum[k], abs=tol), k
