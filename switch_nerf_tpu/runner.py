@@ -1665,6 +1665,10 @@ class Runner:
         eval_set = self.val_set if mode == "val" else self.test_set
         for i in range(len(eval_set)):
             sample = eval_set[i]
+            # per-image files are keyed by the GLOBAL dataset index
+            # (reference runner.py:2253 img_i = data_item['img_i'], the
+            # i_val/i_test entry), not the split-local position
+            img_i = int(sample["img_i"])
             rays = sample["rays"].reshape(-1, 8)
             radii = sample.get("radii")
             if radii is not None:
@@ -1686,10 +1690,10 @@ class Runner:
             img_metrics["time"] = render_time
             img_metrics["memory"] = self._peak_memory_mib()
             meter.update(img_metrics)
-            main_log(f"{mode} image {i}: " + " ".join(
+            main_log(f"{mode} image {img_i}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in img_metrics.items()))
             if out_dir is not None:
-                with (out_dir / f"metrics_{i}.txt").open("w") as f:
+                with (out_dir / f"metrics_{img_i}.txt").open("w") as f:
                     for k, v in img_metrics.items():
                         f.write(f"{k}: {v}\n")
                 res_img = {f"rgb_{typ}": pred}
@@ -1700,10 +1704,20 @@ class Runner:
                 arr = self._result_image(gt, pred, depth,
                                          colormap=colormap)
                 from PIL import Image
-                Image.fromarray(arr).save(val_images_dir / f"{i}.jpg")
+                Image.fromarray(arr).save(val_images_dir / f"{img_i}.jpg")
                 if depth is not None:
-                    self._save_panel_crops(arr, out_dir, i)
+                    self._save_panel_crops(arr, out_dir, img_i)
         means = meter.mean_across_processes()
         main_log(f"{mode} means: " + " ".join(f"{k}={v:.4f}"
                                               for k, v in means.items()))
+        # summary file (reference runner.py:2377-2385): lives in the
+        # protocol dir itself, 'step {train_index} {mode}' header, then
+        # 'Average {mode}/<agg>: <sum/len(dataset)>' — equal to the
+        # cross-process per-image means since every image is evaluated
+        if out_dir is not None and jax.process_index() == 0:
+            with (out_dir / "metrics.txt").open("w") as f:
+                f.write(f"step {train_index} {mode}\n")
+                for k, v in means.items():
+                    agg = self._agg_key(k).replace("val/", f"{mode}/", 1)
+                    f.write(f"Average {agg}: {v}\n")
         return means

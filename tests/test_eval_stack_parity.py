@@ -270,6 +270,246 @@ def test_whole_eval_stack_cross_framework(tmp_path, monkeypatch):
         "0_depth.jpg", "0_gt.jpg", "0_pred.jpg", "metrics_0.txt"]
 
 
+def test_whole_eval_stack_cross_framework_nerf(tmp_path, monkeypatch):
+    """Classic-NeRF twin: the REFERENCE's `_run_validation_nerf`
+    (runner.py:2205-2430 — NeRFDatasetTest items, FULL-image psnr/ssim,
+    img_i-keyed files, 'step {i} {mode}' metrics.txt summary divided by
+    len(dataset)) and our `eval_nerf` run end-to-end on the SAME blender
+    scene (each side through its OWN loader) and one converted
+    checkpoint. The reference again needs the RANK branch (its non-RANK
+    `metric_path` is unbound — NameError) with world_size 1.
+    """
+    install_runner_stubs()
+    import torch
+
+    from tests.test_nerf_path_e2e import write_blender_scene
+
+    (tmp_path / "scene_root").mkdir()
+    root = write_blender_scene(tmp_path / "scene_root")
+
+    # appearance-free graph (classic path: get_nerf(hparams, 0), no
+    # appearance embedding — reference runner.py:459)
+    graph = json.loads(json.dumps(GRAPH))
+    graph["layers"]["2"]["in_ch"] = M + 9
+
+    # ---- one reference-format checkpoint ----------------------------------
+    from switch_nerf.models.model_utils import convert_to_seqexperts
+    from switch_nerf.models.nerf_moe import get_nerf_moe_inner
+    args_t = _ref_args()
+    args_t.appearance_dim = 0
+    args_t.model = graph
+    torch.manual_seed(277)
+    train_model = get_nerf_moe_inner(args_t, appearance_count=0,
+                                     xyz_dim=3).eval()
+    sd = {k: v for k, v in train_model.state_dict().items()}
+
+    sd_seq = convert_to_seqexperts(
+        {"module." + k: v.clone() for k, v in sd.items()})
+    sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in sd_seq.items()}
+    args_seq = _ref_args()
+    args_seq.appearance_dim = 0
+    args_seq.model = graph
+    args_seq.moe_expert_type = "seqexperts"
+    torch.manual_seed(278)
+    ref_model = get_nerf_moe_inner(args_seq, appearance_count=0,
+                                   xyz_dim=3).eval()
+    ref_model.load_state_dict(sd_seq)
+
+    # ---- OUR side: convert params, save ckpt, run eval_nerf ----------------
+    monkeypatch.setenv("SWITCH_NERF_LPIPS_SUBSTITUTE", "0")
+    from scripts.convert_torch_ckpt import (_merge,
+                                            convert_nerf_moe_state_dict,
+                                            unflatten)
+    from switch_nerf_tpu.checkpoints import save_checkpoint
+    from switch_nerf_tpu.config import get_opts_nerf, parse_args
+    from switch_nerf_tpu.runner import Runner
+    from switch_nerf_tpu.trainer import create_train_state
+
+    def hparams(exp):
+        h = parse_args(get_opts_nerf(), [
+            "--exp_name", str(tmp_path / exp),
+            "--dataset_path", str(root)])
+        h.data_type = "nerf"
+        h.dataset_type = "blender"
+        h.no_ndc = True
+        h.testskip = 1
+        h.bg_nerf = False
+        h.appearance_dim = 0
+        h.use_moe = True
+        h.use_moe_external_gate = True
+        h.use_gate_input_norm = True
+        h.batch_prioritized_routing = True
+        h.moe_expert_num = E
+        h.model = graph
+        h.pos_xyz_dim = 2
+        h.pos_dir_dim = 1
+        h.coarse_samples = 8
+        h.fine_samples = 8
+        h.model_chunk_size = 2048
+        h.image_pixel_batch_size = 64
+        h.amp = False
+        # reference pure-torch strategy == our nodrop dispatch
+        h.apply_on_expert_fn_name = "apply_on_expert_fn_nobatch_torch"
+        return h
+
+    h = hparams("conv_exp")
+    conv_runner = Runner(h, set_experiment_path=False)
+    state = create_train_state(conv_runner.init_rng, h, conv_runner.nerf,
+                               conv_runner.bg_nerf)
+    conv = unflatten(convert_nerf_moe_state_dict(
+        {k: v.numpy() for k, v in sd.items()}))
+    params = dict(state.params)
+    params["nerf"] = _merge(state.params["nerf"], conv, "nerf")
+    state = state.replace(params=params)
+    ckpt_dir = save_checkpoint(str(tmp_path / "converted"), state)
+
+    h2 = hparams("ours_exp")
+    h2.ckpt_path = str(ckpt_dir)
+    ours_runner = Runner(h2)
+    our_means = ours_runner.eval_nerf()
+    our_dir = ours_runner.experiment_path / "test_images_0"
+
+    # ---- REFERENCE side: _run_validation_nerf(mode="test") -----------------
+    import switch_nerf.runner as RR
+
+    monkeypatch.setattr(RR.torch.cuda, "reset_peak_memory_stats",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(RR.torch.cuda, "max_memory_allocated",
+                        lambda *a, **k: 0)
+    monkeypatch.setattr(RR, "lpips", lambda *a, **k: {})
+    monkeypatch.setenv("RANK", "0")
+    monkeypatch.setenv("WORLD_SIZE", "1")
+    monkeypatch.setenv("TORCHELASTIC_RUN_ID", "pin")
+    monkeypatch.setattr(torch.distributed, "barrier",
+                        lambda *a, **k: None, raising=False)
+    monkeypatch.setattr(torch.distributed, "broadcast_object_list",
+                        lambda *a, **k: None, raising=False)
+
+    from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
+        MOELayer as RefMOELayer
+    for mod in ref_model.modules():
+        if isinstance(mod, RefMOELayer):
+            orig = mod.forward
+
+            def patched(inp, _orig=orig, **kw):
+                kw["apply_on_expert_fn_name"] = \
+                    "apply_on_expert_fn_nobatch_torch"
+                return _orig(inp, **kw)
+            mod.forward = patched
+
+    class DDPish(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.module = m
+
+    class FakeWriter:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    # the reference's own loader builds its val/test datasets
+    from switch_nerf.datasets.nerf_data.nerf_loader import (NeRFDataset,
+                                                            NeRFDatasetTest,
+                                                            NeRFDatasetVal)
+    ds_args = types.SimpleNamespace(
+        logger=None, dataset_type="blender", datadir=str(root),
+        factor=None, spherify=False, llffhold=8, no_ndc=True,
+        half_res=False, testskip=1, white_bkgd=False, scale_factor=1,
+        bungee_ray_nearfar=None)
+    ref_ds = NeRFDataset(ds_args)
+
+    hp_ref = types.SimpleNamespace(
+        perturb=0.0, coarse_samples=8, fine_samples=8,
+        model_chunk_size=2048, use_cascade=False, sh_deg=None,
+        pos_dir_dim=1, white_bkgd=False, use_random_background_color=False,
+        use_sigma_noise=False, sigma_noise_std=0.0, use_moe=True,
+        bg_use_moe=False, moe_return_gates=False, return_pts=False,
+        return_pts_rgb=False, return_pts_alpha=False, return_sigma=False,
+        return_alpha=False, use_load_importance_loss=False,
+        compute_balance_loss=False, container_path=None,
+        train_mega_nerf=None, render_image_fn_name=None, bg_nerf=False,
+        center_pixels=True, appearance_dim=0, amp=False,
+        amp_use_bfloat16=False, image_pixel_batch_size=64,
+        use_mip=False, colormap=4)
+
+    r = RR.Runner.__new__(RR.Runner)
+    r.hparams = hp_ref
+    r.device = torch.device("cpu")
+    r.near, r.far = float(ref_ds.near), float(ref_ds.far)
+    r.ray_altitude_range = None
+    r.sphere_center = None
+    r.sphere_radius = None
+    r.nerf = DDPish(ref_model)
+    r.bg_nerf = None
+    r.val_dataset = NeRFDatasetVal(ref_ds)
+    r.test_dataset = NeRFDatasetTest(ref_ds)
+    r.writer = FakeWriter()
+    r.is_master = True
+    ref_exp = tmp_path / "ref_exp"
+    ref_exp.mkdir()
+    r.experiment_path = ref_exp
+
+    ref_metrics = RR.Runner._run_validation_nerf(r, 0, mode="test")
+    ref_dir = ref_exp / "test_images_0"
+
+    # ---- the pin ----------------------------------------------------------
+    # identical file listing of the protocol dir (img_i-keyed: the global
+    # blender i_test indices 6, 7 — NOT the split-local 0, 1)
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    our_files = sorted(p.name for p in our_dir.iterdir())
+    assert ref_files == our_files == [
+        "6_depth.jpg", "6_gt.jpg", "6_pred.jpg",
+        "7_depth.jpg", "7_gt.jpg", "7_pred.jpg",
+        "metrics.txt", "metrics_6.txt", "metrics_7.txt"]
+
+    for img_i in (6, 7):
+        ref_lines = [line.split(": ") for line in
+                     (ref_dir / f"metrics_{img_i}.txt"
+                      ).read_text().splitlines() if line]
+        our_lines = [line.split(": ") for line in
+                     (our_dir / f"metrics_{img_i}.txt"
+                      ).read_text().splitlines() if line]
+        assert [k for k, _ in ref_lines] == [k for k, _ in our_lines] \
+            == ["psnr", "ssim", "time", "memory"]
+        ref_txt, our_txt = dict(ref_lines), dict(our_lines)
+        assert float(our_txt["psnr"]) == pytest.approx(
+            float(ref_txt["psnr"]), abs=0.05), img_i
+        assert float(our_txt["ssim"]) == pytest.approx(
+            float(ref_txt["ssim"]), abs=2e-3), img_i
+
+    # summary: 'step 0 test' header + Average test/... sums / len(dataset)
+    ref_sum_lines = (ref_dir / "metrics.txt").read_text().splitlines()
+    our_sum_lines = (our_dir / "metrics.txt").read_text().splitlines()
+    assert ref_sum_lines[0] == our_sum_lines[0] == "step 0 test"
+
+    def to_dict(lines):
+        out = {}
+        for line in lines[1:]:
+            k, v = line.split(": ")
+            assert k.startswith("Average ")
+            out[k[len("Average "):]] = float(v)
+        return out
+
+    ref_sum, our_sum = to_dict(ref_sum_lines), to_dict(our_sum_lines)
+    assert set(ref_sum) == set(our_sum) == {
+        "test/psnr", "test/ssim", "test/time", "test/memory"}
+    assert our_sum["test/psnr"] == pytest.approx(ref_sum["test/psnr"],
+                                                 abs=0.05)
+    assert our_sum["test/ssim"] == pytest.approx(ref_sum["test/ssim"],
+                                                 abs=2e-3)
+    assert our_means["psnr"] == pytest.approx(
+        float(ref_metrics["test/psnr"]) / len(r.test_dataset), abs=0.05)
+
+
 def test_whole_eval_stack_cross_framework_blocknerf(tmp_path, monkeypatch):
     """Block-NeRF twin of the pin above: the REFERENCE's
     `_run_validation_image_blocknerf` (runner.py:1610-1869 — tfrecord val

@@ -9,12 +9,9 @@ from switch_nerf_tpu.config import get_opts_nerf, parse_args
 from tests.test_trainer import tiny_moe_graph
 
 
-@pytest.fixture(scope="module")
-def blender_scene(tmp_path_factory):
+def write_blender_scene(root, w=10, h=10, seed=0):
     from PIL import Image
-    root = tmp_path_factory.mktemp("blender")
-    rng = np.random.default_rng(0)
-    w = h = 10
+    rng = np.random.default_rng(seed)
 
     def pose(theta):
         c = np.eye(4, dtype=np.float32)
@@ -38,6 +35,11 @@ def blender_scene(tmp_path_factory):
         (root / f"transforms_{split}.json").write_text(json.dumps(
             {"camera_angle_x": 0.8, "frames": frames}))
     return root
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    return write_blender_scene(tmp_path_factory.mktemp("blender"))
 
 
 def nerf_hparams(root, tmp, **over):
@@ -99,14 +101,25 @@ def test_blender_train_eval_points(blender_scene, tmp_path):
     # per-image metrics files incl. lpips/time/memory, plus the
     # persisted triptych
     out_dir = runner2.experiment_path / "test_images_0"
+    # per-image files keyed by the GLOBAL img_i (i_test = [6, 7] here:
+    # blender i_split concatenates train(4) + val(2) + test(2))
     for i in range(len(runner2.test_set)):
+        img_i = int(runner2.test_set[i]["img_i"])
+        assert img_i == 6 + i
         fields = {
             line.split(":")[0] for line in
-            (out_dir / f"metrics_{i}.txt").read_text().splitlines() if line}
+            (out_dir / f"metrics_{img_i}.txt").read_text().splitlines()
+            if line}
         assert {"psnr", "ssim", "time", "memory"} <= fields
         assert any(f.startswith("lpips-") for f in fields)
-        assert (runner2.experiment_path / "val_images" / f"{i}.jpg").exists()
+        assert (runner2.experiment_path / "val_images"
+                / f"{img_i}.jpg").exists()
     assert not (runner2.experiment_path / "val_images_0").exists()
+    # summary protocol file (reference runner.py:2377-2385)
+    summary = (out_dir / "metrics.txt").read_text().splitlines()
+    assert summary[0] == "step 0 test"
+    assert any(line.startswith("Average test/psnr: ") for line in summary)
+    assert any(line.startswith("Average test/lpips/") for line in summary)
 
     h3 = nerf_hparams(blender_scene, tmp_path / "pts")
     h3.ckpt_path = str(ckpt)
