@@ -303,6 +303,14 @@ class FilesystemDataset:
         pi, pc = self._process_index, self._process_count
         owned = {cid for cid in range(num_chunks) if cid % pc == pi}
         ready = self._chunk_dir / ".chunks_ready"
+        # a real jax-distributed launch gets a COLLECTIVE cleanup barrier —
+        # no filesystem handshake can distinguish "fresh marker from this
+        # run's process 0 racing ahead" from "stale marker of a crashed
+        # previous write" without it (the inode protocol below deadlocks
+        # in exactly that race); injected process ids (tests) fall back to
+        # the marker polling
+        import jax
+        use_barrier = pc > 1 and jax.process_count() == pc
         if pi == 0:
             # the manifest is written LAST, so any pre-existing chunk dirs
             # are leftovers of an interrupted write (or a different
@@ -317,6 +325,15 @@ class FilesystemDataset:
             for i in range(num_chunks):
                 (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
             ready.touch()
+            if use_barrier:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("chunk_tree_ready")
+        elif use_barrier:
+            # process 0 reaches this barrier only after its cleanup; no
+            # marker inspection needed, and no writer may have touched the
+            # tree before it (nothing is written before this point)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("chunk_tree_ready")
         else:
             # no writer may touch the tree before process 0's cleanup. A
             # CRASHED previous cooperative write leaves its ready marker

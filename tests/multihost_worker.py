@@ -124,6 +124,70 @@ def main() -> None:
             print("RESULT " + json.dumps({"points_total": total}))
         return
 
+    if mode == "chunks":
+        # cooperative chunk writing under REAL jax.distributed: the
+        # collective cleanup barrier replaces the filesystem marker
+        # handshake (which cannot distinguish a fresh marker from a stale
+        # one when process 0 races ahead). Setup reproduces exactly that
+        # race: a stale .chunks_ready from a "crashed" previous write,
+        # and non-zero writers entering AFTER process 0 already finished
+        # cleanup and re-touched the marker.
+        import time
+        from pathlib import Path
+        from PIL import Image
+        from switch_nerf_tpu.datasets.filesystem_dataset import \
+            FilesystemDataset
+        from switch_nerf_tpu.datasets.image_metadata import ImageMetadata
+        from switch_nerf_tpu.utils.meters import allgather_json
+
+        base = Path(ckpt_dir)
+        img_dir = base / f"imgs_{pid}"   # identical per-process copies
+        img_dir.mkdir(parents=True, exist_ok=True)
+        img_rng = np.random.RandomState(0)
+        items = []
+        for i in range(4):
+            arr = (img_rng.rand(12, 16, 3) * 255).astype(np.uint8)
+            p = img_dir / f"{i:03d}.png"
+            Image.fromarray(arr).save(p)
+            c2w = np.eye(4, dtype=np.float32)[:3]
+            c2w[:, 3] = (0.1 * i, 0.2, 1.0)
+            items.append(ImageMetadata(
+                p, c2w, 16, 12,
+                np.array([20.0, 20.0, 8.0, 6.0], np.float32), i, None,
+                False))
+
+        shared = base / "coop_chunks"
+        if pid == 0:
+            shared.mkdir(exist_ok=True)
+            (shared / ".chunks_ready").touch()       # stale crash leftover
+        Runner._host_barrier("chunks_stale_marker_in_place")
+        if pid != 0:
+            time.sleep(2.0)   # let process 0 clean + re-touch FIRST
+
+        ds = FilesystemDataset(items, 0.05, 2.0, None, True, [shared],
+                               num_chunks=3, scale_factor=1,
+                               disk_flush_size=16)
+        ds.load_chunk()
+        ok = len(ds) > 0
+
+        # byte-identical to a single-writer dataset (each process builds
+        # its own reference copy and compares the shared dir against it)
+        ref = FilesystemDataset(items, 0.05, 2.0, None, True,
+                                [base / f"single_{pid}"], num_chunks=3,
+                                scale_factor=1, disk_flush_size=16,
+                                process_index=0, process_count=1)
+        same = True
+        for chunk in sorted((base / f"single_{pid}").glob("chunk_*")):
+            a = ref._read_chunk(chunk)
+            b = ref._read_chunk(shared / chunk.name)
+            same = same and set(a) == set(b) and all(
+                np.array_equal(a[k], b[k]) for k in a)
+        flags = allgather_json({"chunks_ok": bool(ok and same)})
+        if pid == 0:
+            print("RESULT " + json.dumps(
+                {"chunks_ok": all(d["chunks_ok"] for d in flags)}))
+        return
+
     cfg = render_config_from_hparams(h)
     step_fn = jax.jit(make_train_step(model, bg_model, h, cfg, SceneInfo()),
                       donate_argnums=0)

@@ -200,6 +200,18 @@ def test_cli_help_skips_multihost_bootstrap(tmp_path):
 
 
 @pytest.mark.slow
+def test_multi_process_chunk_write_uses_collective_barrier(tmp_path):
+    """Cooperative chunk writing under REAL jax.distributed must survive
+    the stale-marker race: a .chunks_ready left by a crashed previous
+    write, with process 0 finishing cleanup (and re-touching the marker)
+    BEFORE the other writer even looks at it. The filesystem handshake
+    cannot distinguish that fresh marker from the stale one — the
+    collective cleanup barrier can. The worker also pins the written
+    dataset bit-identical to a single-writer one on every process."""
+    r = _run_workers(2, tmp_path, mode="chunks")
+    assert r["chunks_ok"] is True
+
+
 def test_multi_process_eval_points_identical(tmp_path):
     """Multi-process eval_points (round-3 verdict item 6): the cooperative
     SPMD point program must produce BYTE-IDENTICAL PLY files from a
