@@ -186,3 +186,27 @@ def test_gradients_flow_and_match_oracle():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     assert any(float(jnp.abs(l).sum()) > 0 for l in jax.tree_util.tree_leaves(g1))
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+@pytest.mark.parametrize("bpr", [False, True])
+@pytest.mark.parametrize("cf", [1.0, 0.5])
+def test_sorted_inverse_slot_map_matches_scatter(monkeypatch, top_k, bpr, cf):
+    """The opt-in sort-based inverse map (SWITCH_NERF_SORTED_INVERSE=1) is
+    bit-identical to the production scatter, incl. top-2 offset runs and
+    capacity drops (see _inverse_slot_map_sorted's measured A/B docstring)."""
+    rng = np.random.RandomState(7)
+    s, e = 96, 4
+    logits = rng.randn(s, e).astype(np.float32)
+    gates = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    plan, _ = extract_critical(jnp.asarray(gates), top_k, cf,
+                               batch_prioritized_routing=bpr)
+
+    dp_scatter = build_dispatch_plan(plan, e)
+    monkeypatch.setenv("SWITCH_NERF_SORTED_INVERSE", "1")
+    dp_sorted = build_dispatch_plan(plan, e)
+
+    np.testing.assert_array_equal(np.asarray(dp_sorted.slot_to_token),
+                                  np.asarray(dp_scatter.slot_to_token))
+    np.testing.assert_array_equal(np.asarray(dp_sorted.filled),
+                                  np.asarray(dp_scatter.filled))
