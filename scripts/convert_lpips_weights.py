@@ -36,23 +36,37 @@ def main():
                    default=["vgg", "alex", "squeeze"])
     args = p.parse_args()
 
-    import lpips
+    import datetime
 
-    out = {}
+    import lpips
+    import torch
+
+    from switch_nerf_tpu import lpips_jax as L
+
+    nets = {}
     for net in args.nets:
         model = lpips.LPIPS(net=net).eval()
+        out = {}
         _export_net(model, net, out)
-        print(f"exported {net}: "
-              f"{sum(1 for k in out if k.startswith(net))} tensors")
-        # validate against the consumer's exact layout contract BEFORE
-        # writing: a tap/shape mismatch must fail here, at conversion
-        # time, not months later on an offline TPU pod
-        from switch_nerf_tpu import lpips_jax as L
-        L.validate_net_weights(
-            net, {k.split("/", 1)[1]: v for k, v in out.items()
-                  if k.startswith(f"{net}/")}, source="converter output")
-    np.savez(args.out, **out)
-    print(f"wrote {args.out} (layout validated)")
+        nets[net] = {k.split("/", 1)[1]: v for k, v in out.items()}
+        print(f"exported {net}: {len(out)} tensors")
+
+    # write_weights_npz validates every net against the consumer's exact
+    # layout contract BEFORE writing (a tap/shape mismatch must fail here,
+    # at conversion time, not months later on an offline TPU pod) and
+    # embeds a provenance record: converter environment + per-net sha256,
+    # verified again at every load (bit-level integrity)
+    meta = {
+        "lpips_version": getattr(lpips, "__version__", "unknown"),
+        "torch_version": torch.__version__,
+        "converted": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(),
+    }
+    file_sha = L.write_weights_npz(args.out, nets, meta)
+    print(f"wrote {args.out} (layout validated, provenance embedded)")
+    print(f"sha256: {file_sha}")
+    print("Record this sha256 next to the artifact "
+          "(see docs/LPIPS_WEIGHTS.md).")
 
 
 if __name__ == "__main__":

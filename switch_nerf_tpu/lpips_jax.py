@@ -300,11 +300,66 @@ def lpips_all_from_nets(img0: np.ndarray, img1: np.ndarray,
     return out
 
 
+PROVENANCE_KEY = "__provenance__"
+
+
+def net_checksum(w: Dict[str, np.ndarray]) -> str:
+    """sha256 over a net's tensors in sorted-key order (shape-tagged, so a
+    reshape of identical bytes still changes the digest)."""
+    import hashlib
+    h = hashlib.sha256()
+    for k in sorted(w):
+        arr = np.ascontiguousarray(np.asarray(w[k], np.float32))
+        h.update(k.encode("utf-8"))
+        h.update(str(arr.shape).encode("utf-8"))
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def write_weights_npz(path, nets: Dict[str, Dict[str, np.ndarray]],
+                      meta: Dict[str, str]) -> str:
+    """Write a validated, provenance-stamped weights npz.
+
+    Every net is layout-validated FIRST; the npz then embeds a
+    PROVENANCE_KEY JSON record carrying `meta` (converter environment:
+    lpips/torch versions, date) plus a per-net sha256 so a shipped file is
+    self-describing and bit-level verifiable at load time (round-4 verdict
+    item 8: checksum-pinned provenance contract). Returns the whole-file
+    sha256 to record next to the artifact (docs/LPIPS_WEIGHTS.md).
+    """
+    import hashlib
+    import json
+    out: Dict[str, np.ndarray] = {}
+    checksums = {}
+    for net, w in nets.items():
+        validate_net_weights(net, w, source="write_weights_npz input")
+        for k, v in w.items():
+            out[f"{net}/{k}"] = np.asarray(v, np.float32)
+        checksums[net] = net_checksum(w)
+    record = dict(meta, checksums=checksums, format=1)
+    out[PROVENANCE_KEY] = np.frombuffer(
+        json.dumps(record, sort_keys=True).encode("utf-8"), np.uint8)
+    np.savez(path, **out)
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def read_provenance(path: str) -> Dict:
+    """The embedded provenance record, or {} for a legacy npz."""
+    import json
+    data = np.load(path)
+    if PROVENANCE_KEY not in data.files:
+        return {}
+    return json.loads(bytes(data[PROVENANCE_KEY].tolist()).decode("utf-8"))
+
+
 @functools.lru_cache(maxsize=4)
 def _load_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     data = np.load(path)
     nets: Dict[str, Dict[str, np.ndarray]] = {}
     for key in data.files:
+        if key == PROVENANCE_KEY:
+            continue
         if "/" not in key:
             raise ValueError(
                 f"LPIPS weights {path}: key {key!r} is not of the form "
@@ -320,6 +375,14 @@ def _load_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
         raise ValueError(f"LPIPS weights {path}: file contains no nets")
     for net, w in nets.items():
         validate_net_weights(net, w, source=path)
+    prov = read_provenance(path)
+    for net, want in prov.get("checksums", {}).items():
+        if net in nets and net_checksum(nets[net]) != want:
+            raise ValueError(
+                f"LPIPS weights {path}: {net} tensors do not match the "
+                f"embedded provenance sha256 ({want[:16]}…) — the file was "
+                f"modified or corrupted after conversion. Regenerate with "
+                f"scripts/convert_lpips_weights.py.")
     return nets
 
 

@@ -27,12 +27,19 @@ the trash row.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from switch_nerf_tpu.ops.routing import RoutingPlan
+
+# A/B knob (measured 7.4% SLOWER end-to-end; see _inverse_slot_map_sorted).
+# Read ONCE at import: build_dispatch_plan runs at trace time, and the jit
+# cache is keyed on avals, not env — toggling after the first compile would
+# silently compare two identical programs. Set before importing to flip.
+_SORTED_INVERSE = os.environ.get("SWITCH_NERF_SORTED_INVERSE", "0") == "1"
 
 __all__ = [
     "DispatchPlan", "build_dispatch_plan", "dispatch", "combine",
@@ -98,8 +105,6 @@ def _inverse_slot_map_sorted(slot_k: jnp.ndarray, num_experts: int,
 
 
 def build_dispatch_plan(plan: RoutingPlan, num_experts: int) -> DispatchPlan:
-    import os
-
     from jax.ad_checkpoint import checkpoint_name
     k, s = plan.indices.shape
     cap = int(plan.capacity)
@@ -108,7 +113,7 @@ def build_dispatch_plan(plan: RoutingPlan, num_experts: int) -> DispatchPlan:
     kept = plan.locations < cap                                     # [K, S]
     slot = jnp.where(kept, plan.indices * cap + plan.locations, ec)  # [K, S]
 
-    if os.environ.get("SWITCH_NERF_SORTED_INVERSE", "0") == "1":
+    if _SORTED_INVERSE:
         # sort-based A/B variant; measured 7.4% slower end-to-end (docstring)
         slot_to_token = jax.vmap(
             lambda sl: _inverse_slot_map_sorted(sl, num_experts, cap, s))(slot)

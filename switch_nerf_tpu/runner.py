@@ -112,9 +112,13 @@ def _global_term_requested(latch) -> bool:
     same loop point every iteration makes every process see the flag at
     the same step (global OR), so all exit — and save — together.
     """
-    flag = latch["requested"]
+    return _global_any(latch["requested"])
+
+
+def _global_any(flag: bool) -> bool:
+    """Global OR of a per-process host bool (no-op single-process)."""
     if jax.process_count() == 1:
-        return flag
+        return bool(flag)
     from jax.experimental import multihost_utils
     return bool(np.asarray(multihost_utils.process_allgather(
         np.array([flag], np.bool_))).any())
@@ -1531,9 +1535,11 @@ class Runner:
         images_dir = base / "images"
         val_images_dir = base / "val_images"
         metric_dir = base / "val_metrics"
-        if jax.process_index() == 0:
-            for d_ in (images_dir, val_images_dir, metric_dir):
-                d_.mkdir(parents=True, exist_ok=True)
+        # every process creates the dirs: on a shared fs mkdir(exist_ok)
+        # is idempotent, and WITHOUT a shared experiment fs each process
+        # must be able to persist its owned images' files locally
+        for d_ in (images_dir, val_images_dir, metric_dir):
+            d_.mkdir(parents=True, exist_ok=True)
         self._host_barrier("blocknerf_eval_dirs")
 
         names = [l.strip() for l in
@@ -1552,8 +1558,14 @@ class Runner:
                 img_counter += 1
                 # resume marker (reference runner.py:1659-1661): the
                 # triptych write is the last act for an image, so its
-                # existence implies the metrics record is on disk too
-                if (val_images_dir / f"{key}.jpg").exists():
+                # existence implies the metrics record is on disk too.
+                # The skip MUST be a global decision: render_chunks below
+                # is a cooperative collective program, and without a shared
+                # experiment filesystem only the owner process has the
+                # triptych — a local check would make the owner skip while
+                # the others enter the collective and hang (global OR, so
+                # any process having the marker skips the image for all).
+                if _global_any((val_images_dir / f"{key}.jpg").exists()):
                     continue
                 t0 = time.time()
                 rays = d["rays"].reshape(-1, 8)

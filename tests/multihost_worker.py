@@ -24,6 +24,103 @@ import os
 import sys
 
 
+def _run_blockskip(pid: int, nproc: int, ckpt_dir: str) -> None:
+    """Blocknerf eval with PER-PROCESS experiment dirs (simulating a pod
+    without a shared experiment filesystem) and a pre-seeded triptych
+    resume marker on process 0 ONLY.
+
+    The resume skip must be a GLOBAL decision (allgather/OR of the
+    per-process marker check): a local check would make the owner skip
+    while the other processes enter the cooperative collective render for
+    that image -> collective-count mismatch -> hang (caught here by the
+    test's subprocess timeout). The run must complete, skip the seeded
+    image everywhere, and produce the full triptych set across the union
+    of the per-process dirs.
+    """
+    import numpy as np
+    import jax
+    from pathlib import Path
+
+    from switch_nerf_tpu.config import get_opts, parse_args
+    from switch_nerf_tpu.runner import Runner
+    from switch_nerf_tpu.trainer import create_train_state
+    from switch_nerf_tpu.utils.meters import allgather_json
+    from tests.test_blocknerf_e2e import _write_record
+    from tests.test_trainer import tiny_moe_graph
+
+    base = Path(ckpt_dir)
+    data = base / "data"              # dataset may be shared (read-only)
+    if pid == 0:
+        data.mkdir(parents=True, exist_ok=True)
+        _write_record(data / "validation0.tfrecord", [300, 301, 302],
+                      16, 24, True, seed=3)
+        (data / "val.txt").write_text("validation0.tfrecord\n")
+        (data / "idmap.json").write_text(json.dumps({
+            "val_image_num": 3,
+            "validation0.tfrecord": {"300": 0, "301": 1, "302": 2}}))
+    Runner._host_barrier("blockskip_data_ready")
+
+    h = parse_args(get_opts(), [
+        # PER-PROCESS exp dir = the no-shared-filesystem simulation
+        "--exp_name", str(base / f"exp_{pid}"),
+        "--dataset_path", str(data)])
+    h.data_type = "block_nerf"
+    h.block_val_list_path = str(data / "val.txt")
+    h.block_image_hash_id_map_path = str(data / "idmap.json")
+    h.near, h.far = 0.01, 10.0
+    h.bg_nerf = False
+    h.use_mip = True
+    h.use_moe = True
+    h.use_moe_external_gate = True
+    h.moe_expert_num = 4
+    h.moe_test_batch = True
+    h.nerfmoe_class_name = "MipNeRFMoE"
+    h.model = tiny_moe_graph()
+    h.pos_xyz_dim = 2
+    h.pos_dir_dim = 1
+    h.appearance_dim = 4
+    h.image_pixel_batch_size = 96
+
+    # image 300 (owned by process 0) was already rendered in a previous
+    # run ON PROCESS 0'S FILESYSTEM: triptych marker + metric record
+    seeded_jpg = b"seeded-not-a-render"
+    if pid == 0:
+        vdir = base / "exp_0" / "val_images"
+        mdir = base / "exp_0" / "val_metrics"
+        vdir.mkdir(parents=True, exist_ok=True)
+        mdir.mkdir(parents=True, exist_ok=True)
+        (vdir / "300.jpg").write_bytes(seeded_jpg)
+        (mdir / "metrics-300.json").write_text(
+            json.dumps({"psnr": 30.0, "ssim": 0.9}))
+
+    # identical fresh params on every process (no ckpt needed): the real
+    # _setup_device still builds the global mesh + shardings
+    def _fresh_state(self):
+        st = create_train_state(jax.random.PRNGKey(0), self.hparams,
+                                self.nerf, self.bg_nerf)
+        return self._setup_device(st)
+    Runner._load_eval_state = _fresh_state
+
+    runner = Runner(h)
+    runner.eval_image_blocknerf()      # must NOT hang
+
+    my = base / f"exp_{pid}" / "val_images"
+    have = sorted(p.name for p in my.glob("*.jpg"))
+    # the seeded marker was honored: never re-rendered / overwritten
+    seeded_intact = (pid != 0
+                     or (my / "300.jpg").read_bytes() == seeded_jpg)
+    flags = allgather_json({"names": have,
+                            "seeded_intact": bool(seeded_intact)})
+    if pid == 0:
+        union = sorted(set(n for d in flags for n in d["names"]))
+        summary = (runner.experiment_path / "metrics.txt").read_text()
+        print("RESULT " + json.dumps({
+            "blockskip_union": union,
+            "per_proc": [d["names"] for d in flags],
+            "seeded_intact": all(d["seeded_intact"] for d in flags),
+            "summary_has_psnr": "Average val/psnr: " in summary}))
+
+
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     ckpt_dir = sys.argv[4]
@@ -56,6 +153,10 @@ def main() -> None:
                                          make_train_step,
                                          render_config_from_hparams)
 
+    if mode == "blockskip":
+        _run_blockskip(pid, nproc, ckpt_dir)
+        return
+
     h = _building_hparams(tiny=True)
     h.no_expert_parallel = False
     h.batch_size = 64
@@ -85,6 +186,7 @@ def main() -> None:
     class Shim:
         _put_batch = Runner._put_batch
         _local_batch_rows = Runner._local_batch_rows
+        _batched_collective_fn = Runner._batched_collective_fn
     shim = Shim()
     shim.mesh = mesh
     shim.batch_shard = batch_sharding(mesh)

@@ -210,6 +210,44 @@ def test_weights_schema_validation(tmp_path, monkeypatch):
         M.validate_lpips_setup()
 
 
+def test_provenance_checksum_roundtrip(tmp_path):
+    """write_weights_npz embeds a provenance record (env meta + per-net
+    sha256) that load_and_validate verifies bit-for-bit (round-4 verdict
+    item 8): the written file loads clean, read_provenance surfaces the
+    meta, and a single corrupted tensor is rejected naming the checksum."""
+    from switch_nerf_tpu import lpips_jax as L
+
+    nets = {"alex": L.substitute_weights("alex"),
+            "vgg": L.substitute_weights("vgg")}
+    path = tmp_path / "prov.npz"
+    file_sha = L.write_weights_npz(
+        str(path), nets, {"lpips_version": "0.1.4", "torch_version": "t"})
+    assert len(file_sha) == 64
+
+    prov = L.read_provenance(str(path))
+    assert prov["lpips_version"] == "0.1.4"
+    assert set(prov["checksums"]) == {"alex", "vgg"}
+    loaded = L.load_and_validate(str(path))
+    for net in nets:
+        for k in nets[net]:
+            np.testing.assert_array_equal(loaded[net][k], nets[net][k])
+
+    # bit-level corruption: same shapes (layout passes) but different data
+    data = dict(np.load(path))
+    data["alex/conv2/kernel"] = data["alex/conv2/kernel"] + 1e-3
+    bad = tmp_path / "tampered.npz"
+    np.savez(bad, **data)
+    with pytest.raises(ValueError, match="provenance sha256"):
+        L.load_and_validate(str(bad))
+
+    # legacy npz without the record: layout-validated load still works
+    legacy = {f"{n}/{k}": v for n, w in nets.items() for k, v in w.items()}
+    p_legacy = tmp_path / "legacy.npz"
+    np.savez(p_legacy, **legacy)
+    assert set(L.load_and_validate(str(p_legacy))) == {"alex", "vgg"}
+    assert L.read_provenance(str(p_legacy)) == {}
+
+
 def test_expected_layout_matches_substitute():
     """The substitute generator and the validation contract agree — the
     layout the validator demands is exactly what the backbones execute."""

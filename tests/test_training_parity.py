@@ -58,14 +58,53 @@ GRAPH = {
 }
 MOE_L_AUX_WT = 0.01
 
+# toy architecture shared by most pins; ARCH_PROD swaps in the exact
+# published Building graph (round-4 verdict item 6)
+ARCH_TOY = {"graph": GRAPH, "experts": E, "pos_xyz_dim": 2,
+            "pos_dir_dim": 1, "appearance_dim": 4}
 
-def _ref_args(expert_type, **render_flags):
+# the EXACT published Building layer graph
+# (/root/reference/switch_nerf/configs/switch_nerf/building.yaml): 75->256
+# xyz, 7-layer width-256 8-expert MoE with skip [3], 256->256 final,
+# 331->128 dir head (256 + 27 + 48), 2x256 external gate + layernorm
+GRAPH_PROD = {
+    "layer_num_main": 3, "sigma_tag": 0, "dir_tag": 1, "color_tag": 2,
+    "layers": {
+        "xyz": {"in_ch": 75, "h_ch": 0, "out_ch": 256, "num": 1,
+                "type": "mlp", "act": "none"},
+        "0": {"in_ch": 256, "h_ch": 256, "out_ch": 256, "num": 7,
+              "skips": [3], "init_factor": 1.0, "type": "moe",
+              "act": "relu", "gate_type": "top", "k": 1,
+              "fp32_gate": True, "gate_dim": 256},
+        "1": {"in_ch": 256, "h_ch": 0, "out_ch": 256, "num": 1,
+              "type": "mlp", "act": "none"},
+        "2": {"in_ch": 331, "h_ch": 0, "out_ch": 128, "num": 1,
+              "type": "mlp", "act": "relu"},
+        "sigma": {"in_ch": 256, "h_ch": 0, "out_ch": 1, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "color": {"in_ch": 128, "h_ch": 0, "out_ch": 3, "num": 1,
+                  "type": "mlp", "act": "none"},
+        "moe_external_gate": {"in_ch": 256, "h_ch": 256, "out_ch": 256,
+                              "num": 2, "type": "mlp", "act": "none",
+                              "out_skip": False},
+        "gate_input_norm": {"in_ch": 256, "h_ch": 0, "out_ch": 0,
+                            "num": 1, "type": "layernorm"},
+    },
+}
+ARCH_PROD = {"graph": GRAPH_PROD, "experts": 8, "pos_xyz_dim": 12,
+             "pos_dir_dim": 4, "appearance_dim": 48}
+
+
+def _ref_args(expert_type, arch=None, **render_flags):
     import types
+    arch = arch or ARCH_TOY
     ns = types.SimpleNamespace(
-        sh_deg=None, shifted_softplus=True, pos_xyz_dim=2,
-        pos_dir_dim=1, appearance_dim=4, affine_appearance=False,
-        nerfmoe_class_name="NeRFMoE", model=GRAPH,
-        moe_expert_type=expert_type, moe_expert_num=E,
+        sh_deg=None, shifted_softplus=True,
+        pos_xyz_dim=arch["pos_xyz_dim"],
+        pos_dir_dim=arch["pos_dir_dim"],
+        appearance_dim=arch["appearance_dim"], affine_appearance=False,
+        nerfmoe_class_name="NeRFMoE", model=arch["graph"],
+        moe_expert_type=expert_type, moe_expert_num=arch["experts"],
         moe_capacity_factor=1.0, batch_prioritized_routing=True,
         gate_noise=-1.0, use_load_importance_loss=False,
         compute_balance_loss=False, dispatcher_no_score=False,
@@ -73,7 +112,7 @@ def _ref_args(expert_type, **render_flags):
         use_gate_input_norm=True, moe_use_residual=False,
         moe_return_gates=False, moe_return_gate_logits=False,
         use_moe=True, amp_use_bfloat16=False, bf16=False,
-        no_expert_parallel=True, moe_local_expert_num=E,
+        no_expert_parallel=True, moe_local_expert_num=arch["experts"],
         single_data_group=None, use_fp32_in_moe=False,
         moe_layer_num=1, apply_on_expert_fn_name=None,
         no_feature_mapping_relu=False,
@@ -83,7 +122,7 @@ def _ref_args(expert_type, **render_flags):
     return ns
 
 
-def _build_ref_torch_model(seed=11, padded=False):
+def _build_ref_torch_model(seed=11, padded=False, arch=None):
     """Reference NeRFMoE in the pure-torch (seqexperts + mask strategy)
     form: the differentiable CPU oracle for the CUDA dispatch kernels.
     padded=True instead returns the expertmlp model with its DEFAULT
@@ -96,9 +135,10 @@ def _build_ref_torch_model(seed=11, padded=False):
     from switch_nerf.modules.tutel_moe_ext.tutel_moe_layer_nobatch import \
         MOELayer as RefMOELayer
 
+    arch = arch or ARCH_TOY
     torch.manual_seed(seed)
-    ref_a = get_nerf_moe_inner(_ref_args("expertmlp"), appearance_count=4,
-                               xyz_dim=3)
+    ref_a = get_nerf_moe_inner(_ref_args("expertmlp", arch=arch),
+                               appearance_count=4, xyz_dim=3)
     sd = {k: v.clone() for k, v in ref_a.state_dict().items()}
     if padded:
         return ref_a, sd
@@ -106,8 +146,8 @@ def _build_ref_torch_model(seed=11, padded=False):
     sd_seq = {(k[len("module."):] if k.startswith("module.") else k): v
               for k, v in sd_seq.items()}
     torch.manual_seed(seed + 1)
-    ref_b = get_nerf_moe_inner(_ref_args("seqexperts"), appearance_count=4,
-                               xyz_dim=3)
+    ref_b = get_nerf_moe_inner(_ref_args("seqexperts", arch=arch),
+                               appearance_count=4, xyz_dim=3)
     ref_b.load_state_dict(sd_seq)
     for mod in ref_b.modules():
         if isinstance(mod, RefMOELayer):
@@ -376,7 +416,8 @@ def _make_batches(n_steps=300, n_rays=32, n_batches=16, seed=17):
 TRAJ_STEPS, TRAJ_LR, TRAJ_DECAY = 300, 2e-3, 0.1
 
 
-def _torch_trajectory(batches, acc=1, padded=False):
+def _torch_trajectory(batches, acc=1, padded=False, arch=None,
+                      n_steps=TRAJ_STEPS):
     """Reference training loop: Adam + per-MICRO-step ExponentialLR
     (runner.py:485-516, 692-693), loss assembled exactly like
     _training_step + the train-loop l_aux weighting and the
@@ -389,10 +430,10 @@ def _torch_trajectory(batches, acc=1, padded=False):
     from torch.optim.lr_scheduler import ExponentialLR
     from switch_nerf.rendering import render_rays as ref_render_rays
 
-    ref, sd = _build_ref_torch_model(padded=padded)
+    ref, sd = _build_ref_torch_model(padded=padded, arch=arch)
     ref.train()
     hp = _ref_args(
-        "expertmlp" if padded else "seqexperts",
+        "expertmlp" if padded else "seqexperts", arch=arch,
         perturb=0.0, coarse_samples=8, fine_samples=8,
         model_chunk_size=4096, use_cascade=False, white_bkgd=False,
         use_random_background_color=False, use_sigma_noise=False,
@@ -401,7 +442,7 @@ def _torch_trajectory(batches, acc=1, padded=False):
         return_alpha=False, container_path=None, train_mega_nerf=None,
         use_balance_loss=True, moe_l_aux_wt=MOE_L_AUX_WT)
     opt = Adam(ref.parameters(), lr=TRAJ_LR)
-    sched = ExponentialLR(opt, gamma=TRAJ_DECAY ** (1.0 / TRAJ_STEPS))
+    sched = ExponentialLR(opt, gamma=TRAJ_DECAY ** (1.0 / n_steps))
 
     photo, all_loss, psnr = [], [], []
     opt.zero_grad()
@@ -427,7 +468,8 @@ def _torch_trajectory(batches, acc=1, padded=False):
     return {"photo_loss": photo, "all_loss": all_loss, "psnr": psnr}
 
 
-def _jax_trajectory(batches, acc=1, padded=False):
+def _jax_trajectory(batches, acc=1, padded=False, arch=None,
+                    n_steps=TRAJ_STEPS):
     """Our functional trainer on the converted init params: the hparams
     ride through the real config system so the production create_optimizer
     / make_train_step path is what's exercised. padded=True adds
@@ -442,20 +484,24 @@ def _jax_trajectory(batches, acc=1, padded=False):
                                          make_train_step,
                                          render_config_from_hparams)
 
-    _, sd = _build_ref_torch_model()
+    arch = arch or ARCH_TOY
+    _, sd = _build_ref_torch_model(arch=arch)
     h = parse_args(get_opts(), [
         "--accumulation_steps", str(acc),
         "--exp_name", "traj", "--dataset_path", "unused",
         "--use_moe", "--use_moe_external_gate", "--use_gate_input_norm",
-        "--batch_prioritized_routing", "--moe_expert_num", str(E),
-        "--no_bg_nerf", "--pos_xyz_dim", "2", "--pos_dir_dim", "1",
-        "--appearance_dim", "4", "--no_amp", "--perturb", "0.0",
+        "--batch_prioritized_routing",
+        "--moe_expert_num", str(arch["experts"]),
+        "--no_bg_nerf", "--pos_xyz_dim", str(arch["pos_xyz_dim"]),
+        "--pos_dir_dim", str(arch["pos_dir_dim"]),
+        "--appearance_dim", str(arch["appearance_dim"]),
+        "--no_amp", "--perturb", "0.0",
         "--coarse_samples", "8", "--fine_samples", "8",
         "--model_chunk_size", "4096", "--lr", str(TRAJ_LR),
         "--lr_decay_factor", str(TRAJ_DECAY),
-        "--train_iterations", str(TRAJ_STEPS),
+        "--train_iterations", str(n_steps),
         "--moe_l_aux_wt", str(MOE_L_AUX_WT),
-        "--model", json.dumps(GRAPH)]
+        "--model", json.dumps(arch["graph"])]
         + (["--moe_train_batch"] if padded else []))
     assert h.moe_train_batch == padded
 
@@ -553,6 +599,63 @@ def test_training_trajectory_parity_padded():
           f"median {np.median(rel):.2e} max {rel.max():.2e}")
     np.testing.assert_allclose(ours["psnr"][-1], want["psnr"][-1],
                                rtol=5e-2)
+
+
+GOLDEN_PROD = Path(__file__).parent / "data" / "trajectory_moe_prod.json"
+PROD_STEPS = 40
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_production_width():
+    """Round-4 verdict item 6: cross-framework trajectory pin at the
+    PRODUCTION width — the EXACT published Building layer graph
+    (GRAPH_PROD above = configs/switch_nerf/building.yaml: 75->256 xyz,
+    7-layer width-256 8-expert MoE with skip [3], external 2x256 gate +
+    layernorm, 331->128 dir head, appearance_dim 48, pos dims 12/4) in
+    PADDED dispatch (--moe_train_batch, the published training mode).
+    40 optimizer steps at small batch/samples keep the torch CPU side
+    tractable; the torch curve is pinned in
+    tests/data/trajectory_moe_prod.json."""
+    batches = _make_batches(PROD_STEPS, n_rays=32, n_batches=8, seed=29)
+    ours = _jax_trajectory(batches, padded=True, arch=ARCH_PROD,
+                           n_steps=PROD_STEPS)
+    want = _torch_trajectory(batches, padded=True, arch=ARCH_PROD,
+                             n_steps=PROD_STEPS)
+
+    got_l = np.asarray(ours["all_loss"])
+    want_l = np.asarray(want["all_loss"])
+    rel = np.abs(got_l - want_l) / (np.abs(want_l) + 1e-9)
+    print(f"prod-width trajectory drift: step0 {rel[0]:.2e} "
+          f"early10 {rel[:10].max():.2e} median {np.median(rel):.2e} "
+          f"max {rel.max():.2e} final psnr {ours['psnr'][-1]:.3f} "
+          f"vs {want['psnr'][-1]:.3f}")
+    # measured profile (2026-08): steps 0-1 locked at 1.7e-4/1.5e-4,
+    # step2 2.1e-3; with 8 experts x cap 32 at random init the drop SET
+    # flips at capacity boundaries from step ~3 (earlier than the toy
+    # padded pin: more experts, wider fp32 dots), so the bulk is pinned
+    # statistically: median 3.4e-2, max 1.96e-1, final psnr 16.382 vs
+    # 16.457 (0.5%), both curves 0.097 -> 0.039
+    assert rel[:2].max() < 5e-4, f"step-0/1 drift {rel[:2].max():.2e}"
+    assert rel[:3].max() < 5e-3, f"early drift {rel[:3].max():.2e}"
+    assert np.median(rel) < 8e-2, f"median drift {np.median(rel):.2e}"
+    # both curves improve over the horizon (measured 2.5x)
+    assert want_l[-5:].mean() < 0.6 * want_l[:5].mean()
+    assert got_l[-5:].mean() < 0.6 * got_l[:5].mean()
+    np.testing.assert_allclose(ours["psnr"][-1], want["psnr"][-1],
+                               rtol=5e-2)
+
+    if GOLDEN_PROD.exists():
+        golden = json.loads(GOLDEN_PROD.read_text())
+        np.testing.assert_allclose(
+            want_l, golden["all_loss"], rtol=1e-4,
+            err_msg="torch reference drifted from the checked-in golden")
+    else:  # first run: materialize the golden
+        GOLDEN_PROD.parent.mkdir(parents=True, exist_ok=True)
+        GOLDEN_PROD.write_text(json.dumps(
+            {"config": {"steps": PROD_STEPS, "lr": TRAJ_LR,
+                        "decay": TRAJ_DECAY, "l_aux_wt": MOE_L_AUX_WT,
+                        "arch": "building-prod", "dispatch": "padded"},
+             **want}, indent=1))
 
 
 @pytest.mark.slow
