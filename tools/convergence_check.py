@@ -324,6 +324,146 @@ def run_hard(iters: int = 10000) -> None:
     print("HARD CONVERGENCE OK", flush=True)
 
 
+def run_production(iters: int = 10000) -> None:
+    """Round-4 verdict item 1: train the EXACT published Building
+    architecture end-to-end on the real chip and check it learns.
+
+    Config = the published command (reference README.md:59-82 +
+    configs/switch_nerf/building.yaml): width 256, 7-layer 8-expert MoE
+    with skip [3], external 2x256 gate + gate-input LayerNorm, fp32 top-1
+    gate, capacity 1.0 + BPR, l_aux 5e-4, bg NeRF ON, 256+512 samples,
+    bf16 amp, sigma noise std 1.0, per-chip batch 1024 (the reference's
+    per-GPU share of batch 8192), the published 500k-iteration LR schedule
+    (5e-4, decay 0.1) of which `iters` steps are executed. Scene: the
+    textured-multi-sphere + directional-background synthetic scene with
+    per-camera brightness (appearance conditioning).
+
+    Writes tools/convergence_production_result.json (checked in): PSNR
+    curve, gate-loss trace, routing entropy/fractions, thresholds.
+    """
+    from __graft_entry__ import _building_hparams
+
+    n_cams = 64
+    os_, ds_, rgbs_, idxs_ = [], [], [], []
+    for ci, th in enumerate(np.linspace(0, 2 * np.pi, n_cams,
+                                        endpoint=False)):
+        o, d = make_cam_rays(th, W=96, H=96, f=110.0, radius=2.2,
+                             y=0.3 + 0.4 * np.sin(3 * th))
+        bright = np.full(o.shape[0],
+                         0.85 + 0.3 * ci / n_cams, np.float32)
+        os_.append(o)
+        ds_.append(d)
+        rgbs_.append(gt_textured(o, d, bright))
+        idxs_.append(np.full(o.shape[0], ci, np.float32))
+    rays_o = np.concatenate(os_)
+    rays_d = np.concatenate(ds_)
+    gts = np.concatenate(rgbs_)
+    img_idx = np.concatenate(idxs_)
+    rays = np.concatenate(
+        [rays_o, rays_d,
+         np.full((rays_o.shape[0], 1), 0.05, np.float32),
+         np.full((rays_o.shape[0], 1), 100.0, np.float32)], -1)
+
+    h = _building_hparams(tiny=False)       # the published architecture
+    h.coarse_samples, h.fine_samples = 256, 512
+    h.model_chunk_size = 16384              # measured v5e sweet spot
+    h.batch_size = 1024                     # per-chip share of 8192
+    h.train_iterations = 500000             # published LR schedule horizon
+    h.use_sigma_noise = True                # published command flag
+    h.sigma_noise_std = 1.0
+    assert h.amp and h.moe_expert_num == 8 and h.appearance_dim == 48
+
+    model = get_nerf(h, appearance_count=n_cams)
+    bg_model = get_bg_nerf(h, n_cams)
+    state = create_train_state(jax.random.PRNGKey(0), h, model, bg_model)
+    cfg = render_config_from_hparams(h)
+    scene = SceneInfo(sphere_center=jnp.zeros((3,)),
+                      sphere_radius=jnp.full((3,), 2.8))
+    step = jax.jit(make_train_step(model, bg_model, h, cfg, scene),
+                   donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    m = None
+    trace = []
+    report_every = min(500, max(iters // 10, 1))
+    for it in range(1, iters + 1):
+        idx = rng.integers(0, rays.shape[0], h.batch_size)
+        batch = {"rays": jnp.asarray(rays[idx]),
+                 "rgbs": jnp.asarray(gts[idx]),
+                 "image_indices": jnp.asarray(img_idx[idx])}
+        state, m = step(state, batch)
+        if it % report_every == 0:
+            # ONE value fetch closes the async burst (true device sync)
+            rec = {"iter": it, "psnr": round(float(m["psnr"]), 3),
+                   "loss": round(float(m["loss"]), 5),
+                   "gate_loss": round(float(m.get("gate_loss", 0.0)), 4)}
+            trace.append(rec)
+            print(" ".join(f"{k}={v}" for k, v in rec.items()), flush=True)
+    train_time = time.time() - t0
+    print(f"train time {train_time:.0f}s "
+          f"({iters / train_time:.1f} steps/s, "
+          f"{h.batch_size * iters / train_time:.0f} rays/s)", flush=True)
+
+    # routing balance: top-1 expert histogram over fg scene points
+    h.moe_return_gates = True
+    gmodel = get_nerf(h, appearance_count=n_cams)
+    pts_xyz = rng.uniform(-1.3, 1.3, (8192, 3)).astype(np.float32)
+    dirs = rng.normal(size=(8192, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    app = rng.integers(0, n_cams, (8192, 1)).astype(np.float32)
+    pts = np.concatenate([pts_xyz, dirs, app], -1)
+    out = gmodel.apply({"params": state.params["nerf"]},
+                       jnp.asarray(pts), deterministic=True)
+    gates = np.asarray(jnp.stack(out["extras"]["moe_gates"], axis=1))
+    top1 = gates[:, 0, 0]
+    hist = np.bincount(top1.astype(np.int64),
+                       minlength=h.moe_expert_num).astype(np.float64)
+    frac = hist / hist.sum()
+    entropy = float(-(frac[frac > 0] * np.log(frac[frac > 0])).sum())
+    max_entropy = float(np.log(h.moe_expert_num))
+    print(f"expert fractions: {np.round(frac, 3).tolist()}")
+    print(f"routing entropy: {entropy:.3f} / {max_entropy:.3f}")
+
+    psnrs = [r["psnr"] for r in trace]
+    gate_losses = [r["gate_loss"] for r in trace]
+    result = {
+        "mode": "production", "iters": iters,
+        "architecture": "published Building (width 256, 7-layer 8-expert "
+                        "MoE, external gate + LayerNorm, bg NeRF, "
+                        "256+512 samples, b1024/chip, bf16 amp, "
+                        "sigma noise 1.0, lr 5e-4 decay 0.1/500k)",
+        "final_psnr_db": round(psnrs[-1], 2),
+        "final_gate_loss": gate_losses[-1],
+        "routing_entropy_nats": round(entropy, 3),
+        "max_entropy_nats": round(max_entropy, 3),
+        "expert_fractions": [round(f, 4) for f in frac.tolist()],
+        "train_time_s": round(train_time, 1),
+        "steps_per_s": round(iters / train_time, 2),
+        "trace": trace,
+        "device": str(jax.devices()[0]),
+        "thresholds": {"psnr_db": 26.0, "entropy_nats": 1.6,
+                       "max_expert_fraction": 0.45,
+                       "gate_loss_band": [0.9, 1.6]},
+    }
+    out_path = (pathlib.Path(__file__).parent
+                / "convergence_production_result.json")
+    out_path.write_text(json.dumps(result, indent=1))
+    print(f"wrote {out_path}")
+
+    # curve improves monotonically at the trend level
+    assert psnrs[-1] > 26.0, f"did not converge: psnr={psnrs[-1]}"
+    assert psnrs[-1] > psnrs[0] + 3.0, f"no improvement: {psnrs}"
+    # gate loss stable: E*sum(me*ce)/S^2 == 1.0 at perfect balance for
+    # top-1; a stable run stays in a band around it, never collapsing
+    # toward the one-expert value E
+    tail = gate_losses[len(gate_losses) // 2:]
+    assert 0.9 < min(tail) and max(tail) < 1.6, f"gate loss unstable: {tail}"
+    assert entropy > 1.6, f"routing collapsed: entropy={entropy}"
+    assert frac.max() < 0.45, f"routing collapsed: fractions={frac}"
+    print("PRODUCTION CONVERGENCE OK", flush=True)
+
+
 def run_mip(iters: int = 4000) -> None:
     """Mip-path end-to-end learning check: MipNeRFMoE + render_rays_mip
     (the mission_bay-style configuration: use_mip on, bg off, radii in the
@@ -406,5 +546,7 @@ if __name__ == "__main__":
         run_hard(iters or 10000)
     elif "--mip" in sys.argv:
         run_mip(iters or 4000)
+    elif "--production" in sys.argv:
+        run_production(iters or 10000)
     else:
         run_quick()
