@@ -169,6 +169,12 @@ class NeRFMoE(nn.Module):
                                   gate_feat)
             if self.use_gate_input_norm:
                 gate_feat = self._build_layer("gate_input_norm")(gate_feat)
+            # named remat-save hook (off by default): the external-gate
+            # features feed EVERY MoE layer's gate, so the default policy
+            # recomputes the 2-layer gate MLP once in the backward;
+            # A/B via SWITCH_NERF_REMAT_SAVE=+gate_feat
+            from jax.ad_checkpoint import checkpoint_name
+            gate_feat = checkpoint_name(gate_feat, "gate_feat")
 
         moe_loss = []
         moe_gates = []

@@ -35,7 +35,13 @@ ModelFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
 
 # chunk-scan unroll factor (module-level experiment knob; 1 measured best
 # on v5e — see STATUS.md perf notes)
-_SCAN_UNROLL = 1
+# Unrolling the chunk scan body 2x lets XLA schedule/pipeline across chunk
+# iterations at 2x program size. Measured on v5e (Building bg-on b1024,
+# r5): unroll=2 12,153/12,113 rays/s vs unroll=1 11,977/11,931 (+1.6%,
+# reproducible); unroll=4 11,855 (program too big — regresses). Default 2;
+# env knob for re-measurement. Read once at import (trace-time constant;
+# jit caches key on avals, not env).
+_SCAN_UNROLL = int(os.environ.get("SWITCH_NERF_SCAN_UNROLL", "2"))
 # experiment knob: lax.scan(_split_transpose=True) splits the scan
 # backward into a forward-replay scan + a reversed backward scan instead
 # of one fused replay+bwd loop. A/B'd on v5e (Building bg-on b1024):
