@@ -23,6 +23,7 @@ rays/sec/GPU. vs_baseline = measured / 4064.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 BASELINE_RAYS_PER_SEC_PER_CHIP = 4064.0
@@ -147,9 +148,13 @@ def main():
     h = _building_hparams(tiny=False)
     h.coarse_samples, h.fine_samples = 256, 512
     # model_chunk_size is a published tunable (--model_chunk_size; the
-    # 8x3090 commands use 131072 for GPU memory). 16384 is the measured v5e
-    # sweet spot: smaller per-chunk routing sorts, identical GEMM volume.
-    h.model_chunk_size = 16384
+    # 8x3090 commands use 131072 for GPU memory). Under the r5 unroll=2
+    # scan default the v5e sweet spot moved 16384 -> 8192 (the unrolled
+    # body then covers 16384 points with finer-grained routing sorts):
+    # 8192 -> 12,297/12,262 rays/s, 16384 -> 12,153/12,113, 4096 ->
+    # 11,538. Env override for sweep experiments only.
+    h.model_chunk_size = int(os.environ.get("SWITCH_NERF_BENCH_CHUNK",
+                                            "8192"))
     h.batch_size = 1024            # per-chip share of the reference batch
     h.train_iterations = 500000
 

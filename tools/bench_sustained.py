@@ -126,7 +126,7 @@ def main():
               "amp", "bg_nerf", "appearance_dim", "model"):
         setattr(h, k, getattr(prod, k))
     h.coarse_samples, h.fine_samples = 256, 512
-    h.model_chunk_size = 16384
+    h.model_chunk_size = 8192     # r5 optimum under the unroll=2 default
     h.batch_size = 1024
     h.use_sigma_noise = True
     h.sigma_noise_std = 1.0
