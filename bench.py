@@ -155,6 +155,12 @@ def main():
     # 11,538. Env override for sweep experiments only.
     h.model_chunk_size = int(os.environ.get("SWITCH_NERF_BENCH_CHUNK",
                                             "8192"))
+    # bg NeRF chunk (defaults to model_chunk_size downstream); r5 sweep at
+    # fg 8192 + unroll=2: bg 8192 (implicit) 12,290-12,297 vs bg 16384
+    # 11,886 (-3.3%) — keep the implicit default
+    bg_chunk = os.environ.get("SWITCH_NERF_BENCH_BG_CHUNK")
+    if bg_chunk:
+        h.bg_model_chunk_size = int(bg_chunk)
     h.batch_size = 1024            # per-chip share of the reference batch
     h.train_iterations = 500000
 

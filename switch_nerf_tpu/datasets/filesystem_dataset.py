@@ -303,20 +303,43 @@ class FilesystemDataset:
         pi, pc = self._process_index, self._process_count
         owned = {cid for cid in range(num_chunks) if cid % pc == pi}
         ready = self._chunk_dir / ".chunks_ready"
-        # a real jax-distributed launch gets a COLLECTIVE cleanup barrier —
-        # no filesystem handshake can distinguish "fresh marker from this
-        # run's process 0 racing ahead" from "stale marker of a crashed
-        # previous write" without it (the inode protocol below deadlocks
-        # in exactly that race); injected process ids (tests) fall back to
-        # the marker polling
+        # a real jax-distributed launch gets a COLLECTIVE cleanup barrier;
+        # injected process ids (tests, launcher-less pods) use the
+        # filesystem NONCE-ACK handshake below instead — no writer touches
+        # the tree before process 0's cleanup has acknowledged ITS nonce,
+        # which a stale marker of a crashed previous write can never
+        # contain. (An earlier inode/mtime protocol deadlocked when
+        # process 0 finished cleanup before a writer recorded the stale
+        # marker id — seen as a loaded-machine test flake, r5.)
         import jax
         use_barrier = pc > 1 and jax.process_count() == pc
+        coop_fs = pc > 1 and not use_barrier
+
+        def _atomic_write(path: Path, text: str) -> None:
+            tmp = path.with_name(path.name + ".tmp")
+            tmp.write_text(text)
+            tmp.replace(path)
+
+        def _publish_ready_acks() -> None:
+            acks = {}
+            for f in self._chunk_dir.glob(".writer_intent_*"):
+                try:
+                    acks[f.name[len(".writer_intent_"):]] = f.read_text()
+                except OSError:
+                    pass
+            if acks != getattr(self, "_last_acks", None):
+                self._last_acks = acks
+                _atomic_write(ready, json.dumps({"acks": acks}))
+
         if pi == 0:
             # the manifest is written LAST, so any pre-existing chunk dirs
             # are leftovers of an interrupted write (or a different
             # num_chunks): remove them, or _read_chunk would concatenate
             # stale part files. Stale writer markers go too — a marker may
-            # only ever mean "finished in THIS write".
+            # only ever mean "finished in THIS write". Intent files are
+            # KEPT: a fresh writer overwrites its own, and acking a stale
+            # nonce is harmless (its writer is dead; the live writer waits
+            # for its OWN nonce, re-acked on every refresh below).
             ready.unlink(missing_ok=True)
             for stale in self._chunk_dir.glob("chunk_*"):
                 shutil.rmtree(stale)
@@ -324,7 +347,10 @@ class FilesystemDataset:
                 stale.unlink()
             for i in range(num_chunks):
                 (self._chunk_dir / f"chunk_{i:04d}").mkdir(exist_ok=True)
-            ready.touch()
+            if coop_fs:
+                _publish_ready_acks()
+            else:
+                ready.touch()
             if use_barrier:
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices("chunk_tree_ready")
@@ -335,28 +361,20 @@ class FilesystemDataset:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("chunk_tree_ready")
         else:
-            # no writer may touch the tree before process 0's cleanup. A
-            # CRASHED previous cooperative write leaves its ready marker
-            # behind (it is only unlinked at manifest publish), so a
-            # marker observed at entry must not count — wait until it is
-            # recreated (new inode/mtime) or, if it vanishes first, until
-            # it reappears; otherwise this writer could append parts into
-            # dirs process 0 is about to rmtree.
-            try:
-                st = ready.stat()
-                stale_id = (st.st_ino, st.st_mtime_ns)
-            except FileNotFoundError:
-                stale_id = None
+            import uuid
+            nonce = uuid.uuid4().hex
+            _atomic_write(self._chunk_dir / f".writer_intent_{pi}", nonce)
 
-            def _fresh_ready():
+            def _acked():
                 try:
-                    st = ready.stat()
-                except FileNotFoundError:
-                    return None
-                return ((st.st_ino, st.st_mtime_ns) != stale_id) or None
+                    acks = json.loads(ready.read_text()).get("acks", {})
+                except (OSError, ValueError):
+                    return None          # missing / stale-empty / partial
+                return (acks.get(str(pi)) == nonce) or None
 
-            poll_until(_fresh_ready,
-                       desc="process 0 never initialized the chunk tree")
+            poll_until(_acked,
+                       desc="process 0 never acknowledged this writer's "
+                            "chunk-write intent")
         buffers: List[Dict[str, List[np.ndarray]]] = [
             {} for _ in range(num_chunks)]
         counts = [0] * num_chunks
@@ -381,6 +399,11 @@ class FilesystemDataset:
 
         next_chunk = 0
         for item_idx, item in enumerate(metadata_items):
+            if pi == 0 and coop_fs:
+                # re-ack intents that landed (or were overwritten with a
+                # fresh nonce) after the initial ready publish, so late
+                # writers unblock while process 0 is still writing
+                _publish_ready_acks()
             image_data = get_rgb_index_mask(item, self._rng)
             if image_data is None:
                 continue
@@ -435,12 +458,20 @@ class FilesystemDataset:
         (self._chunk_dir / f".writer_done_{pi}").touch()
         if pi == 0:
             # the manifest gates every reader; publish it only after ALL
-            # writers' parts are on disk
-            poll_until(
-                lambda: (all((self._chunk_dir / f".writer_done_{p}").exists()
-                             for p in range(pc)) or None),
-                desc="a cooperative chunk writer never finished")
+            # writers' parts are on disk. The poll also keeps re-acking
+            # intents: a writer still blocked on its nonce can only finish
+            # once acknowledged.
+            def _all_done():
+                if coop_fs:
+                    _publish_ready_acks()
+                return (all((self._chunk_dir / f".writer_done_{p}").exists()
+                            for p in range(pc)) or None)
+
+            poll_until(_all_done,
+                       desc="a cooperative chunk writer never finished")
             for marker in self._chunk_dir.glob(".writer_done_*"):
+                marker.unlink()
+            for marker in self._chunk_dir.glob(".writer_intent_*"):
                 marker.unlink()
             ready.unlink(missing_ok=True)
             (self._chunk_dir / _MANIFEST).write_text(json.dumps(

@@ -243,14 +243,20 @@ def main() -> None:
         from switch_nerf_tpu.utils.meters import allgather_json
 
         base = Path(ckpt_dir)
-        img_dir = base / f"imgs_{pid}"   # identical per-process copies
-        img_dir.mkdir(parents=True, exist_ok=True)
+        # ONE shared image dir, written by process 0: cooperative chunk
+        # writing requires a shared dataset_path in production anyway
+        # (chunk_paths is one shared tree, and the manifest's path digest
+        # must agree across writers — per-process path strings would be
+        # rejected by the post-write manifest validation)
+        img_dir = base / "imgs"
         img_rng = np.random.RandomState(0)
         items = []
         for i in range(4):
             arr = (img_rng.rand(12, 16, 3) * 255).astype(np.uint8)
             p = img_dir / f"{i:03d}.png"
-            Image.fromarray(arr).save(p)
+            if pid == 0:
+                img_dir.mkdir(parents=True, exist_ok=True)
+                Image.fromarray(arr).save(p)
             c2w = np.eye(4, dtype=np.float32)[:3]
             c2w[:, 3] = (0.1 * i, 0.2, 1.0)
             items.append(ImageMetadata(
@@ -262,7 +268,7 @@ def main() -> None:
         if pid == 0:
             shared.mkdir(exist_ok=True)
             (shared / ".chunks_ready").touch()       # stale crash leftover
-        Runner._host_barrier("chunks_stale_marker_in_place")
+        Runner._host_barrier("chunks_images_and_stale_marker_in_place")
         if pid != 0:
             time.sleep(2.0)   # let process 0 clean + re-touch FIRST
 

@@ -778,3 +778,32 @@ def test_cooperative_chunk_write_matches_single_writer(mega_dataset,
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=(chunk.name,
                                                                k))
+
+    # the INVERSE race (r5 flake): process 0 finishes cleanup and
+    # publishes the ready marker BEFORE the writer even starts. The old
+    # inode/mtime protocol recorded that fresh marker as "stale" and
+    # deadlocked; the nonce-ack handshake re-acks the late writer's
+    # intent while process 0 waits for done markers.
+    ahead = tmp_path / "ahead"
+    ahead.mkdir()
+    ahead_out = {}
+    t0 = threading.Thread(target=make, args=(ahead, 0, 2, ahead_out))
+    t0.start()
+    # wait until process 0 has CREATED the ready marker (cleanup done,
+    # now writing its own chunks / waiting for writer 1)
+    deadline = time.time() + 60
+    while not (ahead / ".chunks_ready").exists():
+        assert time.time() < deadline, "process 0 never published ready"
+        time.sleep(0.05)
+    t1 = threading.Thread(target=make, args=(ahead, 1, 2, ahead_out))
+    t1.start()
+    t0.join(timeout=300)
+    t1.join(timeout=300)
+    assert set(ahead_out) == {0, 1}, \
+        "late writer deadlocked behind a ready marker it never saw change"
+    for chunk in sorted((tmp_path / "single").glob("chunk_*")):
+        a = ref._read_chunk(chunk)
+        b = ref._read_chunk(ahead / chunk.name)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=(chunk.name,
+                                                               k))

@@ -53,9 +53,13 @@ def build_step(bg: bool):
     from switch_nerf_tpu.trainer import (SceneInfo, create_train_state,
                                          make_train_step,
                                          render_config_from_hparams)
+    import os
     h = _building_hparams(tiny=False)
     h.coarse_samples, h.fine_samples = 256, 512
-    h.model_chunk_size = 16384
+    # track bench.py's production chunk (8192 since the r5 unroll=2
+    # default; SWITCH_NERF_BENCH_CHUNK overrides both tools the same way)
+    h.model_chunk_size = int(os.environ.get("SWITCH_NERF_BENCH_CHUNK",
+                                            "8192"))
     h.batch_size = 1024
     h.train_iterations = 500000
     h.bg_nerf = bg
