@@ -157,8 +157,12 @@ def main() -> None:
         out = run_cli("switch_nerf_tpu.eval_image",
                       common_flags(data, exp3, cfg_file)
                       + ["--ckpt_path", str(models / "20")])
-        metrics = list(exp3.glob("**/metrics*.txt"))
-        assert metrics, f"no metrics.txt written; stdout tail: {out[-800:]}"
+        # PER-IMAGE metric files only (metrics_{i}.txt, 'psnr: x' lines) —
+        # a bare glob also matches the 'Average val/...' summary
+        # metrics.txt, and filesystem glob order made which one landed
+        # first nondeterministic (observed flake)
+        metrics = sorted(exp3.glob("**/metrics_*.txt"))
+        assert metrics, f"no metrics_*.txt written; stdout tail: {out[-800:]}"
         text = metrics[0].read_text()
         psnr = None
         for line in text.splitlines():
@@ -168,6 +172,9 @@ def main() -> None:
                 break
         assert psnr is not None and math.isfinite(psnr), \
             f"no finite psnr:\n{text}"
+        summary = sorted(exp3.glob("**/metrics.txt"))
+        assert summary and "Average val/psnr: " in summary[0].read_text(), \
+            "aggregate metrics.txt summary missing"
 
     print(json.dumps({"metric": "tpu_cli_smoke", "train_steps": 20,
                       "resume_from": 10, "eval_psnr": round(psnr, 3),
