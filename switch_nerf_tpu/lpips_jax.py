@@ -340,17 +340,27 @@ def write_weights_npz(path, nets: Dict[str, Dict[str, np.ndarray]],
     out[PROVENANCE_KEY] = np.frombuffer(
         json.dumps(record, sort_keys=True).encode("utf-8"), np.uint8)
     np.savez(path, **out)
-    with open(path, "rb") as f:
+    # np.savez appends '.npz' when the name lacks it — hash the file that
+    # was actually written
+    written = str(path)
+    if not written.endswith(".npz"):
+        written += ".npz"
+    with open(written, "rb") as f:
         return hashlib.sha256(f.read()).hexdigest()
+
+
+def _provenance_from(data) -> Dict:
+    """Provenance record out of an already-open NpzFile ({} for legacy)."""
+    import json
+    if PROVENANCE_KEY not in data.files:
+        return {}
+    return json.loads(bytes(data[PROVENANCE_KEY].tolist()).decode("utf-8"))
 
 
 def read_provenance(path: str) -> Dict:
     """The embedded provenance record, or {} for a legacy npz."""
-    import json
-    data = np.load(path)
-    if PROVENANCE_KEY not in data.files:
-        return {}
-    return json.loads(bytes(data[PROVENANCE_KEY].tolist()).decode("utf-8"))
+    with np.load(path) as data:
+        return _provenance_from(data)
 
 
 @functools.lru_cache(maxsize=4)
@@ -375,9 +385,17 @@ def _load_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
         raise ValueError(f"LPIPS weights {path}: file contains no nets")
     for net, w in nets.items():
         validate_net_weights(net, w, source=path)
-    prov = read_provenance(path)
+    prov = _provenance_from(data)
     for net, want in prov.get("checksums", {}).items():
-        if net in nets and net_checksum(nets[net]) != want:
+        if net not in nets:
+            # a net the provenance promises but the file no longer carries
+            # is tampering/truncation, not a smaller conversion
+            raise ValueError(
+                f"LPIPS weights {path}: provenance record lists net "
+                f"{net!r} but the file contains no {net}/* tensors — "
+                f"truncated or tampered. Regenerate with "
+                f"scripts/convert_lpips_weights.py.")
+        if net_checksum(nets[net]) != want:
             raise ValueError(
                 f"LPIPS weights {path}: {net} tensors do not match the "
                 f"embedded provenance sha256 ({want[:16]}…) — the file was "

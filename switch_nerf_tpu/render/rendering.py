@@ -33,9 +33,7 @@ from switch_nerf_tpu.ops.volume import (
 
 ModelFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
 
-# chunk-scan unroll factor (module-level experiment knob; 1 measured best
-# on v5e — see STATUS.md perf notes)
-# Unrolling the chunk scan body 2x lets XLA schedule/pipeline across chunk
+# Chunk-scan unroll factor. Unrolling 2x lets XLA schedule/pipeline across chunk
 # iterations at 2x program size. Measured on v5e (Building bg-on b1024,
 # r5): unroll=2 12,153/12,113 rays/s vs unroll=1 11,977/11,931 (+1.6%,
 # reproducible); unroll=4 11,855 (program too big — regresses). Default 2;
@@ -126,8 +124,15 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         noise_rng, model_rng = jax.random.split(crng)
         sigma_noise = None
         if cfg.use_sigma_noise and cfg.sigma_noise_std > 0.0 and train:
-            sigma_noise = cfg.sigma_noise_std * jax.random.normal(
-                noise_rng, (pts.shape[0], 1), jnp.float32)
+            from jax.ad_checkpoint import checkpoint_name
+            # save the [chunk, 1] draw across the remat boundary: the
+            # threefry normal is pure recompute in the backward otherwise
+            # (sigma noise measured -2.3% on the bench without the save;
+            # A/B via SWITCH_NERF_BENCH_SIGMA_NOISE=1)
+            sigma_noise = checkpoint_name(
+                cfg.sigma_noise_std * jax.random.normal(
+                    noise_rng, (pts.shape[0], 1), jnp.float32),
+                "sigma_noise")
         return model_fn(pts, sigma_noise, model_rng, train)
 
     if cfg.remat_chunks:
@@ -135,7 +140,7 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         # boundary: the backward then reuses them instead of re-running the
         # routing sorts and dispatch gathers (~67 MB/chunk bf16 + few MB
         # int32 — cheap next to the recompute)
-        names = {"moe_plan", "moe_dispatched"}
+        names = {"moe_plan", "moe_dispatched", "sigma_noise"}
         save_pe = (not cfg.use_mip) if cfg.remat_save_pe is None \
             else cfg.remat_save_pe
         if save_pe:

@@ -1523,6 +1523,13 @@ class Runner:
         and experiment_path/metrics.txt 'Average val/...' lines with sums
         divided by the id map's val_image_num (:1838-1858), aggregated
         from the val_metrics dir so resumed evals count earlier images.
+
+        Pods without a shared experiment fs: this run's per-image records
+        are allgathered so process 0's summary covers every process's
+        images. Residual limitation (matches the reference, which
+        requires a shared fs outright): records of images SKIPPED via a
+        resume marker on a non-zero process's local disk are not visible
+        to process 0's aggregate.
         """
         from switch_nerf_tpu.datasets.block_filesystem_dataset import \
             load_tfrecord
@@ -1546,6 +1553,7 @@ class Runner:
                  Path(h.block_val_list_path).read_text().splitlines()
                  if l.strip()]
         img_counter = 0
+        this_run: Dict[str, Dict[str, float]] = {}
         for rec_name in names:
             rec_path = Path(h.dataset_path) / rec_name
             id_map = self.image_hash_id_map.get(rec_name,
@@ -1588,9 +1596,10 @@ class Runner:
                 meter.update(img_metrics)
                 main_log(f"blocknerf val image {key}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in img_metrics.items()))
+                this_run[str(key)] = {k: float(v)
+                                      for k, v in img_metrics.items()}
                 (metric_dir / f"metrics-{key}.json").write_text(
-                    json.dumps({k: float(v)
-                                for k, v in img_metrics.items()}))
+                    json.dumps(this_run[str(key)]))
                 res_img = {f"rgb_{typ}": pred}
                 for extra in (f"depth_{typ}", f"fg_depth_{typ}",
                               f"bg_depth_{typ}"):
@@ -1606,6 +1615,18 @@ class Runner:
         means = meter.mean_across_processes()
         main_log("blocknerf val means: " + " ".join(
             f"{k}={v:.4f}" for k, v in means.items()))
+        # on pods WITHOUT a shared experiment fs, process 0's metric_dir
+        # holds only its own stride — allgather this run's records and
+        # persist the missing ones locally BEFORE aggregating, so the
+        # summary's division by the global val_image_num is over the full
+        # record set (shared-fs runs dedupe by filename, a no-op)
+        if jax.process_count() > 1:
+            from switch_nerf_tpu.utils.meters import allgather_json
+            for d in allgather_json(this_run):
+                for key, rec in d.items():
+                    f_ = metric_dir / f"metrics-{key}.json"
+                    if jax.process_index() == 0 and not f_.exists():
+                        f_.write_text(json.dumps(rec))
         # final summary: aggregate EVERY per-image record on disk
         # (including earlier resumed passes) / val_image_num
         if jax.process_index() == 0 and self.experiment_path is not None:

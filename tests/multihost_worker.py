@@ -114,10 +114,16 @@ def _run_blockskip(pid: int, nproc: int, ckpt_dir: str) -> None:
     if pid == 0:
         union = sorted(set(n for d in flags for n in d["names"]))
         summary = (runner.experiment_path / "metrics.txt").read_text()
+        # p0's metric records must cover EVERY rendered image (peers'
+        # records arrive via the allgather) plus the seeded one — the
+        # summary divides by the global val_image_num
+        mdir = base / "exp_0" / "val_metrics"
+        records = sorted(p.name for p in mdir.glob("metrics-*.json"))
         print("RESULT " + json.dumps({
             "blockskip_union": union,
             "per_proc": [d["names"] for d in flags],
             "seeded_intact": all(d["seeded_intact"] for d in flags),
+            "p0_records": records,
             "summary_has_psnr": "Average val/psnr: " in summary}))
 
 

@@ -240,6 +240,23 @@ def test_provenance_checksum_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="provenance sha256"):
         L.load_and_validate(str(bad))
 
+    # whole-net truncation: provenance promises vgg, file carries none
+    trunc = {k: v for k, v in dict(np.load(path)).items()
+             if not k.startswith("vgg/")}
+    p_trunc = tmp_path / "truncated.npz"
+    np.savez(p_trunc, **trunc)
+    with pytest.raises(ValueError, match="lists net 'vgg'"):
+        L.load_and_validate(str(p_trunc))
+
+    # np.savez appends .npz when missing — the returned sha must be of
+    # the file actually written
+    sha2 = L.write_weights_npz(str(tmp_path / "noext"), nets,
+                               {"lpips_version": "0.1.4"})
+    import hashlib
+    on_disk = hashlib.sha256(
+        (tmp_path / "noext.npz").read_bytes()).hexdigest()
+    assert sha2 == on_disk
+
     # legacy npz without the record: layout-validated load still works
     legacy = {f"{n}/{k}": v for n, w in nets.items() for k, v in w.items()}
     p_legacy = tmp_path / "legacy.npz"

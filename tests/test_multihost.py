@@ -232,6 +232,10 @@ def test_blocknerf_resume_skip_is_collective_safe(tmp_path):
     assert r["per_proc"][1] == ["301.jpg"]
     assert r["seeded_intact"], "seeded resume marker was re-rendered"
     assert r["summary_has_psnr"]
+    # process 0's summary aggregates ALL images: its own (300 seeded, 302
+    # rendered) plus process 1's 301 via the record allgather
+    assert r["p0_records"] == ["metrics-300.json", "metrics-301.json",
+                               "metrics-302.json"]
 
 
 def test_multi_process_eval_points_identical(tmp_path):

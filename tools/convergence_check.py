@@ -366,7 +366,10 @@ def run_production(iters: int = 10000) -> None:
 
     h = _building_hparams(tiny=False)       # the published architecture
     h.coarse_samples, h.fine_samples = 256, 512
-    h.model_chunk_size = 16384              # measured v5e sweet spot
+    # 8192 = measured v5e optimum under the r5 unroll=2 scan default
+    # (bench.py sweep; the checked-in 10k/30k runs predate the sweep and
+    # executed at 16384 — ~1% slower, same numerics)
+    h.model_chunk_size = 8192
     h.batch_size = 1024                     # per-chip share of 8192
     h.train_iterations = 500000             # published LR schedule horizon
     h.use_sigma_noise = True                # published command flag
