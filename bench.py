@@ -164,8 +164,10 @@ def main():
     # the published command trains WITH --use_sigma_noise (README.md:81);
     # measured r5: 12,008 rays/s with noise vs 12,290 without (-2.3% — a
     # threefry normal per chunk inside the scan body, recomputed by
-    # remat). The headline keeps the noise-free program for history
-    # continuity; flip for the published-exact variant
+    # remat); saving the draw across the remat boundary (rendering.py
+    # sigma_noise named save, now default) recovers it to 12,161 (-1.1%).
+    # The headline keeps the noise-free program for history continuity;
+    # flip for the published-exact variant
     if os.environ.get("SWITCH_NERF_BENCH_SIGMA_NOISE") == "1":
         h.use_sigma_noise = True
         h.sigma_noise_std = 1.0

@@ -126,9 +126,10 @@ def run_model_chunked(model_fn: ModelFn, points, cfg: RenderConfig,
         if cfg.use_sigma_noise and cfg.sigma_noise_std > 0.0 and train:
             from jax.ad_checkpoint import checkpoint_name
             # save the [chunk, 1] draw across the remat boundary: the
-            # threefry normal is pure recompute in the backward otherwise
-            # (sigma noise measured -2.3% on the bench without the save;
-            # A/B via SWITCH_NERF_BENCH_SIGMA_NOISE=1)
+            # threefry normal is pure recompute in the backward otherwise.
+            # Measured r5 (SWITCH_NERF_BENCH_SIGMA_NOISE=1): noise cost
+            # -2.3% without the save (12,008 vs 12,290 rays/s), -1.1%
+            # with it (12,161)
             sigma_noise = checkpoint_name(
                 cfg.sigma_noise_std * jax.random.normal(
                     noise_rng, (pts.shape[0], 1), jnp.float32),
