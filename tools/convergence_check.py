@@ -449,11 +449,29 @@ def run_production(iters: int = 10000) -> None:
                        "max_expert_fraction": 0.45,
                        "gate_loss_band": [0.9, 1.6]},
     }
-    out_path = (pathlib.Path(__file__).parent
-                / "convergence_production_result.json")
+    here = pathlib.Path(__file__).parent
+    out_path = here / "convergence_production_result.json"
+    if iters < 5000:
+        # config smoke, not convergence evidence — never displace the
+        # checked-in long-run result
+        out_path = here / "convergence_production_smoke.json"
+    elif out_path.exists():
+        try:
+            have = json.loads(out_path.read_text()).get("iters", 0)
+        except ValueError:
+            have = 0
+        if have > iters:   # keep the longer checked-in run canonical
+            out_path = here / f"convergence_production_result_{iters // 1000}k.json"  # noqa: E501
+        elif have and have < iters:   # preserve the shorter run's record
+            out_path.rename(
+                here / f"convergence_production_result_{have // 1000}k.json")
     out_path.write_text(json.dumps(result, indent=1))
     print(f"wrote {out_path}")
 
+    if iters < 5000:
+        print(f"SMOKE OK (psnr={psnrs[-1]}, thresholds skipped at "
+              f"{iters} iters)", flush=True)
+        return
     # curve improves monotonically at the trend level
     assert psnrs[-1] > 26.0, f"did not converge: psnr={psnrs[-1]}"
     assert psnrs[-1] > psnrs[0] + 3.0, f"no improvement: {psnrs}"
