@@ -173,14 +173,14 @@ def main():
     data_t = float(np.mean([w["data_sample_time"] for w in steady]))
     fwd_t = float(np.mean([w["fwd_bwd_time"] for w in steady]))
 
-    # hot-loop companion number from the canonical bench history
+    # hot-loop companion number from the LATEST recorded bench round
     hot = None
-    b4 = ROOT / "BENCH_r04.json"
-    if b4.exists():
+    for rec in sorted(ROOT.glob("BENCH_r*.json"), reverse=True):
         try:
-            hot = json.loads(b4.read_text())["parsed"]["value"]
+            hot = json.loads(rec.read_text())["parsed"]["value"]
+            break
         except Exception:
-            hot = None
+            continue
 
     result = {
         "metric": "sustained_runner_train_rays_per_sec_per_chip",
