@@ -173,13 +173,28 @@ def main():
     data_t = float(np.mean([w["data_sample_time"] for w in steady]))
     fwd_t = float(np.mean([w["fwd_bwd_time"] for w in steady]))
 
-    # hot-loop companion number from the LATEST recorded bench round
+    # hot-loop companion from the LATEST recorded bench round, by round
+    # NUMBER (lexicographic sort would misorder r9/r10). NOTE the basis
+    # mismatch: the recorded headline is the NOISE-FREE program while
+    # this tool trains the published-exact noise-ON one (~1.1% slower,
+    # see rendering.py sigma_noise save), so the pct below is slightly
+    # conservative; STATUS.md reports the matched-program comparison.
+    def _round_num(p):
+        import re as _re
+        m = _re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
     hot = None
-    for rec in sorted(ROOT.glob("BENCH_r*.json"), reverse=True):
+    hot_src = None
+    for rec in sorted(ROOT.glob("BENCH_r*.json"), key=_round_num,
+                      reverse=True):
         try:
-            hot = json.loads(rec.read_text())["parsed"]["value"]
+            hot = float(json.loads(rec.read_text())["parsed"]["value"])
+            hot_src = rec.name
             break
         except Exception:
+            print(f"warning: unreadable bench record {rec.name}, "
+                  f"falling back to an older round", file=sys.stderr)
             continue
 
     result = {
@@ -192,11 +207,14 @@ def main():
         "fwd_bwd_time_s": round(fwd_t, 5),
         "data_share_pct": round(100 * data_t / (data_t + fwd_t), 2),
         "windows": cap.windows,
-        "hot_loop_rays_per_sec": hot,
-        "sustained_over_hot_pct": (round(100 * rate / hot, 2)
-                                   if hot else None),
-        "nockpt_over_hot_pct": (round(100 * rate_nockpt / hot, 2)
-                                if hot else None),
+        # noise-FREE headline vs this tool's noise-ON program: pcts are
+        # ~1% conservative (see the lookup note above)
+        "hot_loop_noise_free_headline": hot,
+        "hot_loop_source": hot_src,
+        "sustained_over_headline_pct": (round(100 * rate / hot, 2)
+                                        if hot else None),
+        "nockpt_over_headline_pct": (round(100 * rate_nockpt / hot, 2)
+                                     if hot else None),
         "total_wall_s": round(total, 1),
         "ckpt_interval": h.ckpt_interval,
         "device": str(jax.devices()[0]),

@@ -450,25 +450,38 @@ def run_production(iters: int = 10000) -> None:
                        "gate_loss_band": [0.9, 1.6]},
     }
     here = pathlib.Path(__file__).parent
+
+    def _fresh(p: pathlib.Path) -> pathlib.Path:
+        """Never clobber an existing (possibly checked-in) record."""
+        n, q = 1, p
+        while q.exists():
+            q = p.with_name(f"{p.stem}_rerun{n}{p.suffix}")
+            n += 1
+        return q
+
     out_path = here / "convergence_production_result.json"
-    if iters < 5000:
-        # config smoke, not convergence evidence — never displace the
-        # checked-in long-run result
+    # thresholds are calibrated for >=10k-step runs (the 30k trace still
+    # oscillates 25.6-28 dB in the 5-9k band); shorter runs are config
+    # smokes: no asserts, and the result never displaces checked-in
+    # long-run evidence
+    smoke = iters < 10000
+    if smoke:
         out_path = here / "convergence_production_smoke.json"
     elif out_path.exists():
         try:
-            have = json.loads(out_path.read_text()).get("iters", 0)
-        except ValueError:
+            have = int(json.loads(out_path.read_text()).get("iters", 0))
+        except Exception:
             have = 0
-        if have > iters:   # keep the longer checked-in run canonical
-            out_path = here / f"convergence_production_result_{iters // 1000}k.json"  # noqa: E501
-        elif have and have < iters:   # preserve the shorter run's record
-            out_path.rename(
-                here / f"convergence_production_result_{have // 1000}k.json")
+        if have > iters:    # keep the longer checked-in run canonical
+            out_path = _fresh(
+                here / f"convergence_production_result_{iters}iters.json")
+        elif have and have < iters:  # preserve the shorter run's record
+            out_path.rename(_fresh(
+                here / f"convergence_production_result_{have // 1000}k.json"))
     out_path.write_text(json.dumps(result, indent=1))
     print(f"wrote {out_path}")
 
-    if iters < 5000:
+    if smoke:
         print(f"SMOKE OK (psnr={psnrs[-1]}, thresholds skipped at "
               f"{iters} iters)", flush=True)
         return
